@@ -1,0 +1,46 @@
+"""FPN image feature extractor for the ENeRF backbone.
+
+Re-design of reference lib/networks/enerf/feature_net.py:4-36 in channels-last
+NHWC for XLA TPU convolutions: 3 encoder stages (8/16/32 ch at 1/1, 1/2, 1/4
+resolution) with top-down lateral merges producing 32ch@1/4, 16ch@1/2, 8ch@1/1.
+"""
+
+from __future__ import annotations
+
+import flax.linen as nn
+import jax.numpy as jnp
+
+from boostmvsnerfs_tpu.models.blocks import ConvBnReLU
+from boostmvsnerfs_tpu.ops.sampling import resize_bilinear
+
+
+class FeatureNet(nn.Module):
+    bn_axis_name: str | None = None
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray, train: bool = False) -> dict:
+        """x: (N, H, W, 3) -> {'level_0': (N,H/4,W/4,32),
+        'level_1': (N,H/2,W/2,16), 'level_2': (N,H,W,8)}.
+
+        Level naming follows the cascade consumer (reference
+        lib/networks/enerf/network.py:62-66): level_0 is the coarsest.
+        """
+        bn = self.bn_axis_name
+        conv0 = ConvBnReLU(8, (3, 3), (1, 1), bn)(x, train)
+        conv0 = ConvBnReLU(8, (3, 3), (1, 1), bn)(conv0, train)
+        conv1 = ConvBnReLU(16, (5, 5), (2, 2), bn)(conv0, train)
+        conv1 = ConvBnReLU(16, (3, 3), (1, 1), bn)(conv1, train)
+        conv2 = ConvBnReLU(32, (5, 5), (2, 2), bn)(conv1, train)
+        conv2 = ConvBnReLU(32, (3, 3), (1, 1), bn)(conv2, train)
+
+        feat2 = nn.Conv(32, (1, 1), name="toplayer")(conv2)  # 1/4
+        lat1 = nn.Conv(32, (1, 1), name="lat1")(conv1)
+        lat0 = nn.Conv(32, (1, 1), name="lat0")(conv0)
+
+        h1, w1 = conv1.shape[-3], conv1.shape[-2]
+        h0, w0 = conv0.shape[-3], conv0.shape[-2]
+        feat1 = resize_bilinear(feat2, h1, w1) + lat1
+        feat0 = resize_bilinear(feat1, h0, w0) + lat0
+        feat1 = nn.Conv(16, (3, 3), padding="SAME", name="smooth1")(feat1)
+        feat0 = nn.Conv(8, (3, 3), padding="SAME", name="smooth0")(feat0)
+        return {"level_0": feat2, "level_1": feat1, "level_2": feat0}

@@ -1,0 +1,83 @@
+"""IBR NeRF heads: per-sample radiance from voxel + multi-view image features.
+
+Re-design of reference lib/networks/enerf/nerf.py. Every layer is a small
+dense matmul over (rays x samples) points — flattened so the MXU sees one
+large batched GEMM per layer.
+"""
+
+from __future__ import annotations
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+
+kaiming = nn.initializers.kaiming_normal()
+
+
+class Agg(nn.Module):
+    """View-aggregation MLP (reference lib/networks/enerf/nerf.py:45-89):
+    optional viewdir conditioning, per-view stats (mean/var across views),
+    softmax-weighted pooling to a 16-dim feature."""
+
+    feat_ch: int
+    viewdir_agg: bool = True
+
+    @nn.compact
+    def __call__(self, img_feat_rgb_dir: jnp.ndarray) -> jnp.ndarray:
+        # (..., S, feat_ch + 4) -> (..., 16)
+        if self.viewdir_agg:
+            view_feat = nn.relu(
+                nn.Dense(self.feat_ch, kernel_init=kaiming, name="view_fc")(
+                    img_feat_rgb_dir[..., -4:]
+                )
+            )
+            img_feat_rgb = img_feat_rgb_dir[..., :-4] + view_feat
+        else:
+            img_feat_rgb = img_feat_rgb_dir[..., :-4]
+
+        S = img_feat_rgb.shape[-2]
+        var_feat = jnp.var(img_feat_rgb, axis=-2, keepdims=True)
+        avg_feat = jnp.mean(img_feat_rgb, axis=-2, keepdims=True)
+        var_feat = jnp.broadcast_to(var_feat, img_feat_rgb.shape)
+        avg_feat = jnp.broadcast_to(avg_feat, img_feat_rgb.shape)
+
+        feat = jnp.concatenate([img_feat_rgb, var_feat, avg_feat], axis=-1)
+        global_feat = nn.relu(
+            nn.Dense(32, kernel_init=kaiming, name="global_fc")(feat)
+        )
+        agg_w = jax.nn.softmax(
+            nn.relu(nn.Dense(1, kernel_init=kaiming, name="agg_w_fc")(global_feat)),
+            axis=-2,
+        )
+        im_feat = jnp.sum(global_feat * agg_w, axis=-2)
+        return nn.relu(nn.Dense(16, kernel_init=kaiming, name="fc")(im_feat))
+
+
+class NeRFHead(nn.Module):
+    """ENeRF radiance head (reference lib/networks/enerf/nerf.py:6-43).
+
+    Color is a softmax blend over the *source-view RGB* samples (indices
+    [-7:-4] of the per-view feature vector); sigma comes from a softplus head
+    on the voxel+aggregated-image feature.
+    """
+
+    feat_ch: int  # per-view feature channels incl. RGB (e.g. 32+3 or 8+3)
+    hid_n: int = 64
+    viewdir_agg: bool = True
+
+    @nn.compact
+    def __call__(self, vox_feat: jnp.ndarray, img_feat_rgb_dir: jnp.ndarray):
+        """vox_feat (..., 8), img_feat_rgb_dir (..., S, feat_ch+4) -> (..., 4)."""
+        img_feat = Agg(self.feat_ch, self.viewdir_agg, name="agg")(img_feat_rgb_dir)
+        vox_img_feat = jnp.concatenate([vox_feat, img_feat], axis=-1)  # (..., 24)
+        x = nn.relu(nn.Dense(self.hid_n, kernel_init=kaiming, name="lr0")(vox_img_feat))
+        sigma = nn.softplus(nn.Dense(1, kernel_init=kaiming, name="sigma")(x))
+        x = jnp.concatenate([x, vox_img_feat], axis=-1)  # (..., 64+24)
+        S = img_feat_rgb_dir.shape[-2]
+        x = jnp.broadcast_to(x[..., None, :], x.shape[:-1] + (S, x.shape[-1]))
+        x = jnp.concatenate([x, img_feat_rgb_dir], axis=-1)
+        w = nn.relu(nn.Dense(self.hid_n, kernel_init=kaiming, name="color0")(x))
+        w = nn.relu(nn.Dense(1, kernel_init=kaiming, name="color1")(w))
+        color_weight = jax.nn.softmax(w, axis=-2)
+        color = jnp.sum(img_feat_rgb_dir[..., -7:-4] * color_weight, axis=-2)
+        return jnp.concatenate([color, sigma], axis=-1)

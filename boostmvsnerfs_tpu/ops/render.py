@@ -1,0 +1,208 @@
+"""Volume rendering ops: depth regression, depth-guided sampling, compositing.
+
+TPU-native equivalents of reference lib/networks/enerf/utils.py:
+* ``depth_regression``          :678-731
+* ``build_rays`` (bounds part)  :392-422
+* ``sample_along_depth``        :424-443
+* ``raw2outputs``               :605-637
+* ``raw2outputs_blend``         :639-667  (the paper's multi-CV fused render)
+* ``mask_viewport``             :510-520
+
+All sample counts are tiny (8 / 2 / 32) so compositing is a dense cumprod on
+the VPU; shapes are static under jit.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+from boostmvsnerfs_tpu.ops import geometry, sampling
+
+
+def depth_regression(
+    logits: jnp.ndarray,  # (B, D, H, W) depth probability logits
+    depth_values: jnp.ndarray,  # (B, D, H, W) metric depth hypotheses
+    inverse: bool,
+) -> tuple[jnp.ndarray, jnp.ndarray]:
+    """Softmax-expectation depth + standard deviation, each (B, H, W).
+
+    With ``inverse`` the expectation runs in disparity space (reference
+    lib/networks/enerf/utils.py:722-731), so the returned ``depth``/``std``
+    are disparities.
+    """
+    prob = jax.nn.softmax(logits, axis=1)
+    if inverse:
+        depth_values = 1.0 / jnp.maximum(depth_values, 1e-6)
+    depth = jnp.sum(prob * depth_values, axis=1)
+    var = jnp.sum(prob * (depth_values - depth[:, None]) ** 2, axis=1)
+    std = jnp.sqrt(jnp.maximum(var, 1e-10))
+    return depth, std
+
+
+def ray_bounds_maps(
+    depth: jnp.ndarray,  # (B, h, w) regressed depth (disparity if inverse)
+    std: jnp.ndarray,  # (B, h, w)
+    near_far: jnp.ndarray,  # (B, 2, h, w) volume bounds map
+    H: int,
+    W: int,
+    inverse: bool,
+) -> jnp.ndarray:
+    """Per-pixel [ray_near, ray_far, vol_near, vol_far] maps, (B, H, W, 4).
+
+    The depth-guided band [depth-std, depth+std] clamped to the volume bounds,
+    upsampled to render resolution with align-corners bilinear. Reference
+    lib/networks/enerf/utils.py:392-422 (the reference then gathers these at
+    CPU-precomputed uv; we keep the full map and gather at ray pixels).
+    """
+    depth = sampling.resize_bilinear_2d(depth, H, W)
+    std = sampling.resize_bilinear_2d(std, H, W)
+    nf = sampling.resize_bilinear(jnp.moveaxis(near_far, 1, -1), H, W)  # (B,H,W,2)
+    if inverse:
+        # disparity space: near bound is the larger disparity
+        ray_near = jnp.minimum(depth + std, nf[..., 0])
+        ray_far = jnp.maximum(depth - std, nf[..., 1])
+    else:
+        ray_near = jnp.maximum(depth - std, nf[..., 0])
+        ray_far = jnp.minimum(depth + std, nf[..., 1])
+    return jnp.stack([ray_near, ray_far, nf[..., 0], nf[..., 1]], axis=-1)
+
+
+def sample_along_depth(
+    ray_o: jnp.ndarray,  # (B, N, 3)
+    ray_d: jnp.ndarray,  # (B, N, 3) unnormalized (z-depth parameterization)
+    bounds: jnp.ndarray,  # (B, N, 4) [ray_near, ray_far, vol_near, vol_far]
+    uv: jnp.ndarray,  # (B, N, 2) pixel coords at render scale
+    N_samples: int,
+    inverse: bool,
+) -> tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
+    """World samples + normalized volume coords + z values.
+
+    Returns (world_xyz (B,N,S,3), uvd (B,N,S,3), z_vals (B,N,S)).
+    Reference lib/networks/enerf/utils.py:424-443: z is uniform in the
+    [ray_near, ray_far] band (disparity band when ``inverse``); the volume
+    coordinate d normalizes z against the per-pixel volume bounds.
+    """
+    near, far = bounds[..., 0:1], bounds[..., 1:2]
+    vnear, vfar = bounds[..., 2:3], bounds[..., 3:4]
+    if N_samples == 1:
+        z_vals = near + (far - near) * 0.5
+    else:
+        t = jnp.linspace(0.0, 1.0, N_samples, dtype=jnp.float32)
+        z_vals = near + (far - near) * t  # (B, N, S)
+    if inverse:
+        depth = 1.0 / jnp.maximum(z_vals, 1e-6)
+        d = (vnear - z_vals) / jnp.maximum(vnear - vfar, 1e-6)
+    else:
+        depth = z_vals
+        d = (z_vals - vnear) / jnp.maximum(vfar - vnear, 1e-6)
+    world_xyz = ray_o[..., None, :] + ray_d[..., None, :] * depth[..., None]
+    S = z_vals.shape[-1]
+    uvd = jnp.concatenate(
+        [jnp.broadcast_to(uv[..., None, :], uv.shape[:2] + (S, 2)), d[..., None]],
+        axis=-1,
+    )
+    return world_xyz, uvd, z_vals
+
+
+def composite(
+    raw: jnp.ndarray,  # (B, N, S, 4) rgb + sigma-like alpha input
+    z_vals: jnp.ndarray | None,  # (B, N, S)
+) -> dict:
+    """Alpha compositing (reference lib/networks/enerf/utils.py:605-637).
+
+    alpha = 1 - exp(-raw[...,3]); weights via exclusive transmittance cumprod;
+    the depth map uses softmax-normalized weights, matching the reference.
+    """
+    alpha = 1.0 - jnp.exp(-raw[..., 3])
+    T = jnp.cumprod(1.0 - alpha + 1e-10, axis=-1)
+    T = jnp.concatenate([jnp.ones_like(T[..., :1]), T[..., :-1]], axis=-1)
+    weights = alpha * T
+    rgb = jnp.sum(weights[..., None] * raw[..., :3], axis=-2)
+    out = {"rgb": rgb, "weights": weights}
+    if z_vals is not None:
+        w = jax.nn.softmax(weights, axis=-1)
+        out["depth"] = jnp.sum(w * jax.lax.stop_gradient(z_vals), axis=-1)
+    return out
+
+
+def composite_blend(
+    raws: jnp.ndarray,  # (B, K, N, S, 4) per-cost-volume raw outputs
+    masks: jnp.ndarray,  # (B, K, N, S) normalized visibility weights
+    z_vals: jnp.ndarray | None,  # (B, K, N, S)
+) -> dict:
+    """Multi cost-volume fused rendering — the paper's core contribution.
+
+    Reference lib/networks/enerf/utils.py:639-667 ``raw2outputs_blend``:
+    per-sample alphas of the K volumes are blended with visibility weights
+    into ONE transmittance integral; radiance accumulates per-volume against
+    the shared transmittance.
+    """
+    alpha_all = 1.0 - jnp.exp(-raws[..., 3])  # (B, K, N, S)
+    alphas = jnp.sum(alpha_all * masks, axis=1)  # (B, N, S)
+    T = jnp.cumprod(
+        jnp.concatenate([jnp.ones_like(alphas[..., :1]), 1.0 - alphas], axis=-1),
+        axis=-1,
+    )[..., :-1]  # (B, N, S)
+    weights = alphas * T
+    rgb = jnp.sum(
+        (T[:, None] * alpha_all * masks)[..., None] * raws[..., :3], axis=(-2, 1)
+    )  # (B, N, 3)
+    out = {"rgb": rgb, "weights": weights}
+    if z_vals is not None:
+        w = jax.nn.softmax(weights, axis=-1)
+        out["depth"] = jnp.sum(
+            w * jax.lax.stop_gradient(jnp.mean(z_vals, axis=1)), axis=-1
+        )
+    return out
+
+
+def normalize_blend_masks(masks: jnp.ndarray) -> jnp.ndarray:
+    """Normalize per-volume visibility masks across K; uniform 1/K fallback
+    where no volume sees the sample (reference
+    lib/networks/boost_enerf/network.py:167-168)."""
+    K = masks.shape[1]
+    total = jnp.sum(masks, axis=1, keepdims=True)
+    return jnp.where(total > 0, masks / total, 1.0 / K)
+
+
+def mask_viewport(
+    world_xyz: jnp.ndarray,  # (B, N, S, 3)
+    src_exts: jnp.ndarray,  # (B, V, 4, 4)
+    src_ixts: jnp.ndarray,  # (B, V, 3, 3)
+    inv_scale: jnp.ndarray,  # (B, 2) = [W-1, H-1] at render scale
+) -> jnp.ndarray:
+    """Fraction of source views seeing each sample, (B, N, S).
+
+    Reference lib/networks/enerf/utils.py:510-520 + :490-508
+    ``get_ndc_coords``: a sample counts as visible in a view when its
+    normalized projection lies in [0, 1]^2 with positive depth.
+    """
+    V = src_exts.shape[1]
+    B, N, S = world_xyz.shape[:3]
+    pts = world_xyz.reshape(B, N * S, 3)
+    acc = jnp.zeros((B, N * S), jnp.float32)
+    for v in range(V):
+        xy, depth = geometry.project_points(pts, src_exts[:, v], src_ixts[:, v])
+        uv = xy / inv_scale[:, None, :]
+        vis = (
+            (uv[..., 0] >= 0)
+            & (uv[..., 0] <= 1)
+            & (uv[..., 1] >= 0)
+            & (uv[..., 1] <= 1)
+            & (depth[..., 0] > 0)
+        )
+        acc = acc + vis.astype(jnp.float32)
+    return (acc / V).reshape(B, N, S)
+
+
+def unpreprocess(src_inps: jnp.ndarray, render_scale: float = 1.0) -> jnp.ndarray:
+    """Map network inputs in [-1, 1] back to RGB in [0, 1], optionally resized
+    (reference lib/networks/enerf/utils.py:669-676)."""
+    img = src_inps * 0.5 + 0.5
+    if render_scale != 1.0:
+        H, W = img.shape[-3], img.shape[-2]
+        img = sampling.resize_bilinear(
+            img, int(H * render_scale), int(W * render_scale)
+        )
+    return img

@@ -1,0 +1,187 @@
+"""Resampling ops: bilinear/trilinear gathers and align-corners resize.
+
+TPU-native replacements for the reference's CUDA ``F.grid_sample`` calls
+(2D: lib/networks/enerf/utils.py:88-90, :770; 3D: :459) and
+``F.interpolate(..., align_corners=True)`` (:396-398, :115-117).
+
+All functions use align_corners=True semantics (pixel centers at integer
+coordinates 0..size-1) and take **pixel-unit** coordinates — the reference
+normalizes to [-1, 1] only because torch's grid_sample API demands it; we skip
+the round trip.
+
+The resize is expressed as two separable interpolation matmuls so it runs on
+the MXU instead of as a gather. The gathers in grid-sample are expressed as
+flat ``jnp.take`` which XLA lowers to TPU dynamic-gather; the fused
+warp+variance Pallas kernel (ops/pallas/) supersedes the 2D path in the hot
+plane-sweep loop.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+
+
+def _gather_hw(img_flat: jnp.ndarray, iy, ix, W: int) -> jnp.ndarray:
+    """Gather (N,...) rows from (H*W, C) by (y, x) integer indices."""
+    idx = iy * W + ix
+    return jnp.take(img_flat, idx, axis=0)
+
+
+def grid_sample_2d(
+    img: jnp.ndarray,  # (H, W, C)
+    xy: jnp.ndarray,  # (N, 2) pixel coords (x, y), align-corners
+    padding_mode: str = "zeros",
+) -> jnp.ndarray:
+    """Bilinear sample, returns (N, C).
+
+    ``zeros``: out-of-range taps contribute 0 (torch grid_sample default,
+    used by the plane-sweep warp, reference lib/networks/enerf/utils.py:88-90).
+    ``border``: coordinates clamped to the image rectangle (used by per-view
+    image-feature sampling, reference :770).
+    """
+    H, W, C = img.shape
+    x = xy[..., 0]
+    y = xy[..., 1]
+
+    if padding_mode == "border":
+        x = jnp.clip(x, 0.0, W - 1)
+        y = jnp.clip(y, 0.0, H - 1)
+
+    x0f = jnp.floor(x)
+    y0f = jnp.floor(y)
+    tx = x - x0f
+    ty = y - y0f
+
+    x0 = x0f.astype(jnp.int32)
+    y0 = y0f.astype(jnp.int32)
+    x1 = x0 + 1
+    y1 = y0 + 1
+
+    if padding_mode == "zeros":
+        # validity of each tap before clamping for the gather
+        vx0 = (x0 >= 0) & (x0 <= W - 1)
+        vx1 = (x1 >= 0) & (x1 <= W - 1)
+        vy0 = (y0 >= 0) & (y0 <= H - 1)
+        vy1 = (y1 >= 0) & (y1 <= H - 1)
+    x0c = jnp.clip(x0, 0, W - 1)
+    x1c = jnp.clip(x1, 0, W - 1)
+    y0c = jnp.clip(y0, 0, H - 1)
+    y1c = jnp.clip(y1, 0, H - 1)
+
+    flat = img.reshape(H * W, C)
+    v00 = _gather_hw(flat, y0c, x0c, W)
+    v01 = _gather_hw(flat, y0c, x1c, W)
+    v10 = _gather_hw(flat, y1c, x0c, W)
+    v11 = _gather_hw(flat, y1c, x1c, W)
+
+    w00 = (1 - ty) * (1 - tx)
+    w01 = (1 - ty) * tx
+    w10 = ty * (1 - tx)
+    w11 = ty * tx
+    if padding_mode == "zeros":
+        w00 = jnp.where(vy0 & vx0, w00, 0.0)
+        w01 = jnp.where(vy0 & vx1, w01, 0.0)
+        w10 = jnp.where(vy1 & vx0, w10, 0.0)
+        w11 = jnp.where(vy1 & vx1, w11, 0.0)
+
+    return (
+        v00 * w00[..., None]
+        + v01 * w01[..., None]
+        + v10 * w10[..., None]
+        + v11 * w11[..., None]
+    )
+
+
+def grid_sample_3d(
+    vol: jnp.ndarray,  # (D, H, W, C)
+    xyz: jnp.ndarray,  # (N, 3) pixel coords (x->W, y->H, z->D), align-corners
+    padding_mode: str = "zeros",
+) -> jnp.ndarray:
+    """Trilinear sample, returns (N, C).
+
+    Matches torch 5D grid_sample with align_corners=True (reference
+    lib/networks/enerf/utils.py:458-460 ``get_vox_feat`` and
+    lib/networks/mvsnerf/utils.py:357-383 ``index_point_feature``).
+    """
+    D, H, W, C = vol.shape
+    x, y, z = xyz[..., 0], xyz[..., 1], xyz[..., 2]
+    if padding_mode == "border":
+        x = jnp.clip(x, 0.0, W - 1)
+        y = jnp.clip(y, 0.0, H - 1)
+        z = jnp.clip(z, 0.0, D - 1)
+
+    x0f, y0f, z0f = jnp.floor(x), jnp.floor(y), jnp.floor(z)
+    tx, ty, tz = x - x0f, y - y0f, z - z0f
+    x0, y0, z0 = x0f.astype(jnp.int32), y0f.astype(jnp.int32), z0f.astype(jnp.int32)
+
+    flat = vol.reshape(D * H * W, C)
+    out = jnp.zeros(xyz.shape[:-1] + (C,), vol.dtype)
+    for dz in (0, 1):
+        for dy in (0, 1):
+            for dx in (0, 1):
+                xi, yi, zi = x0 + dx, y0 + dy, z0 + dz
+                w = (
+                    (tx if dx else 1 - tx)
+                    * (ty if dy else 1 - ty)
+                    * (tz if dz else 1 - tz)
+                )
+                if padding_mode == "zeros":
+                    valid = (
+                        (xi >= 0)
+                        & (xi <= W - 1)
+                        & (yi >= 0)
+                        & (yi <= H - 1)
+                        & (zi >= 0)
+                        & (zi <= D - 1)
+                    )
+                    w = jnp.where(valid, w, 0.0)
+                xi = jnp.clip(xi, 0, W - 1)
+                yi = jnp.clip(yi, 0, H - 1)
+                zi = jnp.clip(zi, 0, D - 1)
+                idx = (zi * H + yi) * W + xi
+                out = out + jnp.take(flat, idx, axis=0) * w[..., None]
+    return out
+
+
+# ---------------------------------------------------------------------------
+# Align-corners bilinear resize as separable MXU matmuls.
+# ---------------------------------------------------------------------------
+
+def _interp_matrix(n_out: int, n_in: int, dtype=jnp.float32) -> jnp.ndarray:
+    """(n_out, n_in) row-stochastic linear-interp matrix, align-corners."""
+    if n_in == 1:
+        return jnp.ones((n_out, 1), dtype)
+    pos = jnp.linspace(0.0, n_in - 1, n_out)
+    i0 = jnp.clip(jnp.floor(pos).astype(jnp.int32), 0, n_in - 2)
+    t = pos - i0
+    rows = jnp.arange(n_out)
+    m = jnp.zeros((n_out, n_in), dtype)
+    m = m.at[rows, i0].add(1.0 - t)
+    m = m.at[rows, i0 + 1].add(t)
+    return m
+
+
+@partial(jax.jit, static_argnums=(1, 2))
+def resize_bilinear(img: jnp.ndarray, H_out: int, W_out: int) -> jnp.ndarray:
+    """Align-corners bilinear resize of (..., H, W, C) to (..., H_out, W_out, C).
+
+    Equivalent to torch ``F.interpolate(mode='bilinear', align_corners=True)``
+    (reference lib/networks/enerf/utils.py:396-398). Two dense matmuls ->
+    MXU-friendly, no gathers.
+    """
+    H, W = img.shape[-3], img.shape[-2]
+    if H == H_out and W == W_out:
+        return img
+    my = _interp_matrix(H_out, H, img.dtype)  # (H_out, H)
+    mx = _interp_matrix(W_out, W, img.dtype)  # (W_out, W)
+    out = jnp.einsum("oh,...hwc->...owc", my, img)
+    out = jnp.einsum("ow,...hwc->...hoc", mx, out)
+    return out
+
+
+def resize_bilinear_2d(x: jnp.ndarray, H_out: int, W_out: int) -> jnp.ndarray:
+    """Resize a (..., H, W) map (no channel axis)."""
+    return resize_bilinear(x[..., None], H_out, W_out)[..., 0]

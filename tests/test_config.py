@@ -1,0 +1,51 @@
+"""Tests for the config system (parent_cfg inheritance + CLI overrides)."""
+
+import os
+
+from boostmvsnerfs_tpu.config import CfgNode, FrozenCfg, default_cfg, make_cfg
+
+
+def test_parent_chain_and_overrides(tmp_path):
+    parent = tmp_path / "parent.yaml"
+    parent.write_text(
+        "task: pretrain\nenerf:\n  cas_config:\n    num: 2\n    volume_planes: [64, 8]\n"
+    )
+    child = tmp_path / "child.yaml"
+    child.write_text(
+        f"parent_cfg: {parent}\nexp_name: child\nenerf:\n  cas_config:\n    volume_planes: [32, 4]\n"
+    )
+    cfg = make_cfg(str(child))
+    assert cfg.task == "pretrain"
+    assert cfg.exp_name == "child"
+    assert cfg.enerf.cas_config.num == 2  # inherited
+    assert cfg.enerf.cas_config.volume_planes == [32, 4]  # overridden
+
+
+def test_merge_from_list_and_other_opts():
+    cfg = default_cfg()
+    cfg.merge_from_list(
+        ["train.lr", "1e-3", "exp_name", "abc", "other_opts", "ignored", "x"]
+    )
+    assert cfg.train.lr == 1e-3
+    assert cfg.exp_name == "abc"
+
+
+def test_frozen_cfg_hashable():
+    cfg = CfgNode.from_dict({"a": {"b": [1, 2]}, "c": True})
+    f1 = cfg.freeze_hashable()
+    f2 = cfg.freeze_hashable()
+    assert hash(f1) == hash(f2) and f1 == f2
+    assert f1.a.b == (1, 2)
+    assert f1.get("missing", 7) == 7
+    d = {f1: "x"}
+    assert d[f2] == "x"
+
+
+def test_result_dirs_derived():
+    cfg = default_cfg()
+    cfg.task = "t"
+    cfg.exp_name = "e"
+    from boostmvsnerfs_tpu.config import finalize_cfg
+
+    finalize_cfg(cfg)
+    assert cfg.trained_model_dir.endswith(os.path.join("trained_model", "t", "e"))
