@@ -1,0 +1,194 @@
+"""BoostENeRF: multi cost-volume fusion on the ENeRF backbone.
+
+TPU-native re-design of reference lib/networks/boost_enerf/network.py:
+* ``combo_coverage_masks`` — the visibility mask of every 3-view combination
+  rendered through the cascade (reference ``calc_mask`` :22-69), batched over
+  combinations with a static combination table instead of per-combo Python
+  dispatch.
+* ``search_k_best`` — greedy novel-view-coverage maximization
+  (reference ``search_k_best_views`` :71-95); runs on host over the cached
+  mask stack (the selection is a per-scene offline artifact).
+* ``forward_boost`` — renders the K selected cost volumes jointly and blends
+  per-sample radiance with normalized visibility weights in a single
+  transmittance integral (reference ``forward`` :172-237 +
+  ``merge_mlp_outputs`` :163-170).
+
+Batch convention adds:
+  all_src_inps (B, N, H, W, 3), all_src_exts (B, N, 4, 4),
+  all_src_ixts (B, N, 3, 3), k_best (B, K) int32 combination ids.
+"""
+
+from __future__ import annotations
+
+import itertools
+
+import jax.numpy as jnp
+import numpy as np
+
+from boostmvsnerfs_tpu.models.enerf import ENeRF
+from boostmvsnerfs_tpu.ops import render
+
+
+def view_combinations(n_views: int, n_input: int) -> np.ndarray:
+    """Static combination table, (C(n_views, n_input), n_input) int32.
+    Order matches torch.combinations (lexicographic), reference
+    lib/networks/boost_enerf/network.py:99, :176."""
+    return np.array(
+        list(itertools.combinations(range(n_views), n_input)), dtype=np.int32
+    )
+
+
+def search_k_best(masks: np.ndarray, k: int) -> list[int]:
+    """Greedy coverage maximization over combination masks (n_combos, H, W).
+
+    Each step picks the combo whose mask covers the most not-yet-covered
+    area; coverage is soft (masks in [0, 1]). Reference
+    lib/networks/boost_enerf/network.py:71-95 including the
+    ``results=[0]`` fallback when nothing improves coverage.
+    """
+    n, H, W = masks.shape
+    prev = np.ones((H, W), np.float32)
+    results: list[int] = []
+    for _ in range(k):
+        best_id, best_ratio = None, 0.0
+        for i in range(n):
+            if i in results:
+                continue
+            ratio = float((masks[i] * prev).sum()) / (H * W)
+            if ratio > best_ratio:
+                best_ratio, best_id = ratio, i
+        if best_id is None:
+            break
+        prev = prev * (1.0 - masks[best_id])
+        results.append(best_id)
+    if not results:
+        results.append(0)
+    return results
+
+
+class BoostENeRF(ENeRF):
+    """ENeRF + multi cost-volume fusion."""
+
+    # ------------------------------------------------------------------
+    # view-selection preprocessing
+    # ------------------------------------------------------------------
+
+    def combo_coverage_mask(self, batch: dict, combo: jnp.ndarray) -> jnp.ndarray:
+        """Coverage mask of one source-view combination, (B, H_r, W_r).
+
+        Runs the full cascade on the subset and composites the per-sample
+        viewport-visibility fraction through the final level's transmittance
+        (reference lib/networks/boost_enerf/network.py:22-69). Only the final
+        cascade level's mask is returned: the reference computes one per
+        level but its selection dict keeps only the last level's result
+        (network.py:110-120, identical dict keys per level).
+        """
+        sub = dict(batch)
+        sub["src_inps"] = jnp.take(batch["all_src_inps"], combo, axis=1)
+        sub["src_exts"] = jnp.take(batch["all_src_exts"], combo, axis=1)
+        sub["src_ixts"] = jnp.take(batch["all_src_ixts"], combo, axis=1)
+
+        feats = self.extract_features(sub["src_inps"], False)
+        prev = None
+        cas = self.cas
+        last = cas.num - 1
+        for i in range(cas.num):
+            feat_vol, depth, std, nf_map = self.build_level_volume(
+                i, feats, sub["src_exts"], sub["src_ixts"], sub["tar_ext"],
+                sub["tar_ixt"], sub["near_far"], prev, False,
+            )
+            prev = (depth, std, nf_map)
+            if i == last:
+                raw_out = self.render_level(
+                    i, feats, feat_vol, depth, std, nf_map, sub,
+                    sub[f"ray_idx_{i}"], False, return_raw=True,
+                )
+        B, S, H, W, _ = sub["src_inps"].shape
+        H_r = int(H * cas.render_scale[last])
+        W_r = int(W * cas.render_scale[last])
+        Ns = cas.num_samples[last]
+        # mask composited as pseudo-radiance: value = visibility/N_samples in
+        # both rgb and alpha channels (reference network.py:61-64)
+        m = raw_out["mask"] / Ns  # (B, N, Ns)
+        pseudo = jnp.broadcast_to(m[..., None], m.shape + (4,))
+        out = render.composite(pseudo, None)
+        return jnp.mean(out["rgb"], axis=-1).reshape(B, H_r, W_r)
+
+    def forward_view_selection(self, batch: dict, combos: jnp.ndarray) -> jnp.ndarray:
+        """Coverage masks for all combinations: (n_combos, B, H_r, W_r).
+
+        The greedy selection itself (``search_k_best``) runs on host over
+        these masks; callers cache the result per (scene, target view)
+        exactly like the reference's view_selection.json artifact.
+        """
+        masks = []
+        for c in range(combos.shape[0]):
+            masks.append(self.combo_coverage_mask(batch, combos[c]))
+        return jnp.stack(masks, axis=0)
+
+    # ------------------------------------------------------------------
+    # fused forward
+    # ------------------------------------------------------------------
+
+    def __call__(self, batch: dict, train: bool = False) -> dict:
+        """Fused multi-cost-volume forward.
+
+        ``batch['k_best']`` holds (B, K) combination ids (from the cached
+        view selection); ``batch['combos']`` the static (n_combos, I) table.
+        """
+        cas = self.cas
+        K = cas.k_best
+        combos = batch["combos"]  # (n_combos, I) int32
+        sel = jnp.take(combos, batch["k_best"], axis=0)  # (B, K, I)
+
+        feats_all = self.extract_features(batch["all_src_inps"], train)
+
+        ret = {}
+        prev = [None] * K
+        raws, masks, zs = [], [], []
+        last = cas.num - 1
+        for i in range(cas.num):
+            raws, masks, zs = [], [], []
+            for k in range(K):
+                views_k = sel[:, k]  # (B, I)
+                sub = dict(batch)
+                sub["src_inps"] = _take_views(batch["all_src_inps"], views_k)
+                sub["src_exts"] = _take_views(batch["all_src_exts"], views_k)
+                sub["src_ixts"] = _take_views(batch["all_src_ixts"], views_k)
+                feats_k = {
+                    lvl: _take_views(f, views_k) for lvl, f in feats_all.items()
+                }
+                feat_vol, depth, std, nf_map = self.build_level_volume(
+                    i, feats_k, sub["src_exts"], sub["src_ixts"],
+                    sub["tar_ext"], sub["tar_ixt"], sub["near_far"],
+                    prev[k], train,
+                )
+                prev[k] = (depth, std, nf_map)
+                if not cas.render_if[i]:
+                    continue
+                raw_out = self.render_level(
+                    i, feats_k, feat_vol, depth, std, nf_map, sub,
+                    batch[f"ray_idx_{i}"], train, return_raw=True,
+                )
+                raws.append(raw_out["net_output"])
+                masks.append(raw_out["mask"])
+                zs.append(raw_out["z_vals"])
+
+            if not cas.render_if[i]:
+                continue
+            raws_k = jnp.stack(raws, axis=1)  # (B, K, N, Ns, 4)
+            masks_k = render.normalize_blend_masks(jnp.stack(masks, axis=1))
+            z_k = jnp.stack(zs, axis=1)
+            out = render.composite_blend(raws_k, masks_k, z_k)
+            depth0, std0 = prev[0][0], prev[0][1]
+            out["depth_mvs"] = 1.0 / depth0 if cas.depth_inv[i] else depth0
+            out["std"] = std0
+            ret.update({f"{key}_level{i}": v for key, v in out.items()})
+        return ret
+
+
+def _take_views(x: jnp.ndarray, views: jnp.ndarray) -> jnp.ndarray:
+    """Gather (B, I, ...) from (B, N, ...) with per-batch view ids (B, I)."""
+    return jnp.take_along_axis(
+        x, views.reshape(views.shape + (1,) * (x.ndim - 2)), axis=1
+    )

@@ -1,0 +1,310 @@
+"""ENeRF backbone: cascade cost volumes + depth-guided radiance rendering.
+
+TPU-native re-design of reference lib/networks/enerf/network.py. Differences
+from the reference by design:
+
+* Rays are generated **on device** from camera matrices at ray pixel indices
+  supplied in the batch (the reference ships CPU-built (N, 8) ray tensors,
+  lib/datasets/enerf_utils.py:25-71).
+* There is no chunked ``batchify_rays`` loop (reference network.py:45-55):
+  ray memory is managed by sharding the ray axis over the device mesh
+  (parallel/) and, within a device, by XLA scheduling; shapes stay static.
+* All dense math is channels-last and jit-compiled end to end.
+
+Batch convention (all jnp arrays):
+  src_inps   (B, S, H, W, 3)  source images in [-1, 1]
+  src_exts   (B, S, 4, 4)     world->camera
+  src_ixts   (B, S, 3, 3)
+  tar_ext    (B, 4, 4)
+  tar_ixt    (B, 3, 3)
+  near_far   (B, 2)           scene-level depth range
+  ray_idx_{i} (B, N_i) int32  flat pixel ids at level-i render scale
+"""
+
+from __future__ import annotations
+
+import dataclasses
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+
+from boostmvsnerfs_tpu.models.cost_reg_net import CostRegNet, MinCostRegNet
+from boostmvsnerfs_tpu.models.feature_net import FeatureNet
+from boostmvsnerfs_tpu.models.nerf_head import NeRFHead
+from boostmvsnerfs_tpu.ops import cost_volume, geometry, render, sampling
+
+
+@dataclasses.dataclass(frozen=True)
+class CascadeConfig:
+    """Static cascade settings (reference
+    configs/exps/pretrain/enerf/dtu_pretrain.yaml:31-47)."""
+
+    num: int = 2
+    depth_inv: tuple = (True, False)
+    volume_scale: tuple = (0.125, 0.5)
+    volume_planes: tuple = (64, 8)
+    im_feat_scale: tuple = (0.25, 0.5)
+    im_ibr_scale: tuple = (0.25, 1.0)
+    render_scale: tuple = (0.25, 1.0)
+    render_im_feat_level: tuple = (0, 2)
+    nerf_model_feat_ch: tuple = (32, 8)
+    render_if: tuple = (True, True)
+    num_samples: tuple = (8, 2)
+    num_rays: tuple = (4096, 32768)
+    train_img: tuple = (True, True)
+    loss_weight: tuple = (0.1, 1.0)
+    viewdir_agg: bool = True
+    # boost settings (reference configs/exps/pretrain/enerf_ours/dtu_pretrain.yaml)
+    k_best: int = 4
+    cost_volume_input_views: int = 3
+
+    @staticmethod
+    def from_cfg(node) -> "CascadeConfig":
+        """Build from a cfg ``enerf`` subtree (dict-like)."""
+        cas = node["cas_config"]
+        fields = {f.name for f in dataclasses.fields(CascadeConfig)}
+        kw = {k: tuple(v) if isinstance(v, list) else v for k, v in cas.items() if k in fields}
+        if "viewdir_agg" in node:
+            kw["viewdir_agg"] = node["viewdir_agg"]
+        if "cost_volume_input_views" in node:
+            kw["cost_volume_input_views"] = node["cost_volume_input_views"]
+        return CascadeConfig(**kw)
+
+
+class ENeRF(nn.Module):
+    """Cascade ENeRF network (reference lib/networks/enerf/network.py:11-113)."""
+
+    cas: CascadeConfig = CascadeConfig()
+    bn_axis_name: str | None = None
+
+    def setup(self):
+        self.feature_net = FeatureNet(self.bn_axis_name)
+        cost_regs = []
+        nerf_heads = []
+        for i in range(self.cas.num):
+            cost_regs.append(
+                MinCostRegNet(self.bn_axis_name)
+                if i == 0
+                else CostRegNet(self.bn_axis_name)
+            )
+            nerf_heads.append(
+                NeRFHead(
+                    feat_ch=self.cas.nerf_model_feat_ch[i] + 3,
+                    viewdir_agg=self.cas.viewdir_agg,
+                )
+            )
+        self.cost_regs = cost_regs
+        self.nerf_heads = nerf_heads
+
+    # ------------------------------------------------------------------
+    # stages
+    # ------------------------------------------------------------------
+
+    def extract_features(self, src_inps: jnp.ndarray, train: bool) -> dict:
+        """FPN over all source views: {'level_k': (B, S, h, w, c)}."""
+        B, S, H, W, C = src_inps.shape
+        feats = self.feature_net(src_inps.reshape(B * S, H, W, C), train)
+        return {
+            k: v.reshape(B, S, *v.shape[1:]) for k, v in feats.items()
+        }
+
+    def build_level_volume(
+        self,
+        level: int,
+        feats: dict,
+        src_exts,
+        src_ixts,
+        tar_ext,
+        tar_ixt,
+        near_far,
+        prev,  # None | (depth, std, nf_map)
+        train: bool,
+    ):
+        """Cost volume -> regularized feature volume + regressed depth.
+
+        Returns (feat_vol (B,D,Hv,Wv,8), depth (B,Hv,Wv), std, nf_map
+        (B,2,Hv,Wv), depth_values).
+        """
+        cas = self.cas
+        B, S, Hf, Wf, _ = feats[f"level_{level}"].shape
+        H = int(round(Hf / cas.im_feat_scale[level]))
+        W = int(round(Wf / cas.im_feat_scale[level]))
+        Hv, Wv = int(H * cas.volume_scale[level]), int(W * cas.volume_scale[level])
+        D = cas.volume_planes[level]
+        inv = cas.depth_inv[level]
+
+        if prev is None:
+            dv = cost_volume.initial_depth_values(near_far, D, Hv, Wv, inv)
+        else:
+            depth_p, std_p, nf_p = prev
+            dv = cost_volume.refined_depth_values(
+                depth_p, std_p, nf_p, D, Hv, Wv, cas.depth_inv[level - 1], inv
+            )
+        nf_map = cost_volume.depth_values_near_far(dv, inv)
+
+        pm = geometry.proj_mats(
+            src_ixts, src_exts, tar_ixt, tar_ext,
+            src_scale=cas.im_feat_scale[level],
+            tar_scale=cas.volume_scale[level],
+        )
+        vol = jax.vmap(cost_volume.variance_volume)(
+            feats[f"level_{level}"], pm, dv
+        )  # (B, D, Hv, Wv, C)
+        feat_vol, logits = self.cost_regs[level](vol, train)
+        depth, std = render.depth_regression(logits, dv, inv)
+        return feat_vol, depth, std, nf_map
+
+    def render_level(
+        self,
+        level: int,
+        feats: dict,
+        feat_vol,
+        depth,
+        std,
+        nf_map,
+        batch: dict,
+        ray_idx: jnp.ndarray,  # (B, N)
+        train: bool,
+        return_raw: bool = False,
+    ) -> dict:
+        """Depth-guided rendering of the rays at ``ray_idx``.
+
+        Mirrors reference lib/networks/enerf/network.py:24-43 ``render_rays``
+        plus utils.build_rays; with ``return_raw`` the per-sample radiance,
+        z-values, and visibility mask are returned un-composited for the
+        boost fused render (reference lib/networks/boost_enerf/network.py:123-149).
+        """
+        cas = self.cas
+        B, S, H, W, _ = batch["src_inps"].shape
+        H_r, W_r = int(H * cas.render_scale[level]), int(W * cas.render_scale[level])
+        inv = cas.depth_inv[level]
+        D = feat_vol.shape[1]
+        Hv, Wv = feat_vol.shape[2], feat_vol.shape[3]
+
+        bounds_map = render.ray_bounds_maps(depth, std, nf_map, H_r, W_r, inv)
+        bounds = jnp.take_along_axis(
+            bounds_map.reshape(B, H_r * W_r, 4), ray_idx[..., None], axis=1
+        )  # (B, N, 4)
+        xy = geometry.flat_idx_to_xy(ray_idx, W_r)  # (B, N, 2)
+        tar_ixt_r = geometry.scale_ixt(batch["tar_ixt"], cas.render_scale[level])
+        ray_o, ray_d = geometry.rays_from_pixels(tar_ixt_r, batch["tar_ext"], xy)
+
+        world_xyz, uvd, z_vals = render.sample_along_depth(
+            ray_o, ray_d, bounds, xy, cas.num_samples[level], inv
+        )
+        N, Ns = world_xyz.shape[1:3]
+
+        # voxel features: normalize uv to [0,1] over the render frame, then
+        # scale to volume pixel coords (reference network.py:37-38 +
+        # utils.py:458-460)
+        u = uvd[..., 0] / (W_r - 1) * (Wv - 1)
+        v = uvd[..., 1] / (H_r - 1) * (Hv - 1)
+        d = uvd[..., 2] * (D - 1)
+        vox_xyz = jnp.stack([u, v, d], axis=-1).reshape(B, N * Ns, 3)
+        vox_feat = jax.vmap(
+            lambda vol, pts: sampling.grid_sample_3d(vol, pts, "zeros")
+        )(feat_vol, vox_xyz).reshape(B, N, Ns, -1)
+
+        # per-view image features at render scale
+        im_feat = feats[f"level_{cas.render_im_feat_level[level]}"]
+        up = cas.render_scale[level] / cas.im_ibr_scale[level]
+        if up != 1.0:
+            im_feat = sampling.resize_bilinear(
+                im_feat, int(im_feat.shape[-3] * up), int(im_feat.shape[-2] * up)
+            )
+        rgbs = render.unpreprocess(batch["src_inps"], cas.render_scale[level])
+        img_feat_rgb = jnp.concatenate([im_feat, rgbs], axis=-1)  # (B,S,H_r,W_r,C+3)
+
+        img_feat_rgb_dir = self._gather_view_features(
+            world_xyz, img_feat_rgb, batch, cas.render_scale[level]
+        )  # (B, N, Ns, S, C+3+4)
+
+        raw = self.nerf_heads[level](
+            vox_feat, img_feat_rgb_dir
+        )  # (B, N, Ns, 4)
+
+        if return_raw:
+            inv_scale = jnp.broadcast_to(
+                jnp.asarray([W_r - 1, H_r - 1], jnp.float32)[None], (B, 2)
+            )
+            mask = jax.lax.stop_gradient(
+                render.mask_viewport(
+                    world_xyz, batch["src_exts"], batch["src_ixts"], inv_scale
+                )
+            )
+            return {"net_output": raw, "z_vals": z_vals, "mask": mask}
+
+        out = render.composite(raw, z_vals)
+        out["depth_mvs"] = 1.0 / depth if inv else depth
+        out["std"] = std
+        return out
+
+    def _gather_view_features(
+        self, world_xyz, img_feat_rgb, batch, render_scale: float
+    ) -> jnp.ndarray:
+        """Project samples into every source view and gather features + RGB +
+        ray-difference descriptors (reference lib/networks/enerf/utils.py:753-786).
+        """
+        B, N, Ns = world_xyz.shape[:3]
+        S = img_feat_rgb.shape[1]
+        Hf, Wf = img_feat_rgb.shape[2], img_feat_rgb.shape[3]
+        pts = world_xyz.reshape(B, N * Ns, 3)
+        tar_c = geometry.cam_center(batch["tar_ext"])  # (B, 3)
+
+        per_view = []
+        for s in range(S):
+            ixt = geometry.scale_ixt(batch["src_ixts"][:, s], render_scale)
+            xy, _ = geometry.project_points(pts, batch["src_exts"][:, s], ixt)
+            feat = jax.vmap(
+                lambda img, c: sampling.grid_sample_2d(img, c, "border")
+            )(img_feat_rgb[:, s], xy)  # (B, N*Ns, C+3)
+
+            src_c = geometry.cam_center(batch["src_exts"][:, s])  # (B, 3)
+            tar_diff = pts - tar_c[:, None]
+            src_diff = pts - src_c[:, None]
+            tar_diff = tar_diff / (
+                jnp.linalg.norm(tar_diff, axis=-1, keepdims=True) + 1e-6
+            )
+            src_diff = src_diff / (
+                jnp.linalg.norm(src_diff, axis=-1, keepdims=True) + 1e-6
+            )
+            ray_diff = tar_diff - src_diff
+            ray_diff_norm = jnp.linalg.norm(ray_diff, axis=-1, keepdims=True)
+            ray_diff_dot = jnp.sum(tar_diff * src_diff, axis=-1, keepdims=True)
+            ray_diff_dir = ray_diff / jnp.maximum(ray_diff_norm, 1e-6)
+            per_view.append(
+                jnp.concatenate([feat, ray_diff_dir, ray_diff_dot], axis=-1)
+            )
+        out = jnp.stack(per_view, axis=-2)  # (B, N*Ns, S, C+3+4)
+        return out.reshape(B, N, Ns, S, out.shape[-1])
+
+    # ------------------------------------------------------------------
+    # full forward
+    # ------------------------------------------------------------------
+
+    def __call__(self, batch: dict, train: bool = False) -> dict:
+        feats = self.extract_features(batch["src_inps"], train)
+        ret = {}
+        prev = None
+        for i in range(self.cas.num):
+            feat_vol, depth, std, nf_map = self.build_level_volume(
+                i,
+                feats,
+                batch["src_exts"],
+                batch["src_ixts"],
+                batch["tar_ext"],
+                batch["tar_ixt"],
+                batch["near_far"],
+                prev,
+                train,
+            )
+            prev = (depth, std, nf_map)
+            if not self.cas.render_if[i]:
+                continue
+            out = self.render_level(
+                i, feats, feat_vol, depth, std, nf_map, batch,
+                batch[f"ray_idx_{i}"], train,
+            )
+            ret.update({f"{k}_level{i}": v for k, v in out.items()})
+        return ret
