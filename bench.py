@@ -1,0 +1,83 @@
+"""Benchmark: novel-view render throughput of the flagship fused model.
+
+Measures rays/sec (final cascade level) for the BoostENeRF K=4 fused render
+at the Free-dataset evaluation geometry (480x736, 6 source views, k_best=4 —
+reference configs/exps/evaluate/enerf_ours/free_eval.yaml) on one TPU chip.
+
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+``vs_baseline`` compares against the most recent value stored in
+bench_baseline.json (self-relative until reference-hardware numbers exist —
+the reference repo publishes none, see BASELINE.md).
+"""
+
+import json
+import os
+import time
+
+import jax
+import jax.numpy as jnp
+
+
+def main():
+    from boostmvsnerfs_tpu.models.boost_enerf import BoostENeRF
+    from boostmvsnerfs_tpu.models.enerf import CascadeConfig
+    from boostmvsnerfs_tpu.utils.synthetic import make_scene_batch
+
+    H, W = int(os.environ.get("BENCH_H", 480)), int(os.environ.get("BENCH_W", 736))
+    n_views = 6
+    k_best = 4
+    iters = int(os.environ.get("BENCH_ITERS", 5))
+
+    cas = CascadeConfig(k_best=k_best)
+    model = BoostENeRF(cas=cas)
+    np_batch = make_scene_batch(
+        B=1, n_views=n_views, H=H, W=W, boost=True, k_best=k_best, seed=0
+    )
+    batch = {k: jnp.asarray(v) for k, v in np_batch.items()}
+    variables = model.init(jax.random.PRNGKey(0), batch, False)
+
+    fwd = jax.jit(lambda v, b: model.apply(v, b, False))
+    # warm-up / compile
+    out = fwd(variables, batch)
+    jax.block_until_ready(out)
+
+    times = []
+    for _ in range(iters):
+        t0 = time.perf_counter()
+        out = fwd(variables, batch)
+        jax.block_until_ready(out)
+        times.append(time.perf_counter() - t0)
+
+    n_rays = batch["ray_idx_1"].shape[1]
+    dt = min(times)
+    rays_per_sec = n_rays / dt
+
+    baseline_file = os.path.join(os.path.dirname(__file__), "bench_baseline.json")
+    vs_baseline = 1.0
+    if os.path.exists(baseline_file):
+        try:
+            with open(baseline_file) as f:
+                prev = json.load(f).get("rays_per_sec")
+            if prev:
+                vs_baseline = rays_per_sec / prev
+        except Exception:
+            pass
+    else:
+        with open(baseline_file, "w") as f:
+            json.dump({"rays_per_sec": rays_per_sec, "H": H, "W": W,
+                       "fps": 1.0 / dt}, f)
+
+    print(
+        json.dumps(
+            {
+                "metric": "boost_enerf_render_rays_per_sec",
+                "value": round(rays_per_sec, 1),
+                "unit": "rays/s",
+                "vs_baseline": round(vs_baseline, 4),
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,62 @@
+"""Device mesh construction and sharding rules.
+
+The TPU-native replacement for the reference's NCCL process groups
+(reference train_net.py:143-149): a single ``Mesh(('data', 'rays'))``.
+
+* ``data`` — data parallelism over scenes/target views (the reference's DDP
+  axis, lib/datasets/samplers.py:103-159); gradients reduce over it.
+* ``rays`` — the per-view ray bundle is sharded so each device renders an
+  image tile; the reference instead loops serial chunks on one GPU
+  (lib/networks/enerf/network.py:45-55 ``batchify_rays``).
+
+Sharding is applied via jit in/out shardings (GSPMD): the cost-volume build
+stays replicated per data-group while ray-stage tensors partition over
+``rays``; XLA inserts the all-gathers.
+"""
+
+from __future__ import annotations
+
+import jax
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+
+def make_mesh(
+    n_data: int = 1, n_rays: int | None = None, devices=None
+) -> Mesh:
+    """Build a (data, rays) mesh. Defaults: all devices on the rays axis."""
+    if devices is None:
+        devices = jax.devices()
+    if n_rays is None:
+        n_rays = max(1, len(devices) // n_data)
+    use = np.asarray(devices[: n_data * n_rays]).reshape(n_data, n_rays)
+    return Mesh(use, ("data", "rays"))
+
+
+def batch_shardings(mesh: Mesh, batch: dict) -> dict:
+    """Per-leaf NamedShardings for a model batch.
+
+    Ray-indexed leaves (``ray_idx_*``, ``rgb_*``, ``msk_*``: shape (B, N, ...))
+    shard over (data, rays); image/camera leaves shard over data only;
+    static tables (``combos``) replicate.
+    """
+    out = {}
+    for k, v in batch.items():
+        if k.startswith(("ray_idx_", "rgb_", "msk_")):
+            spec = P("data", "rays")
+        elif k == "combos":
+            spec = P()
+        else:
+            spec = P("data")
+        out[k] = NamedSharding(mesh, spec)
+    return out
+
+
+def replicated(mesh: Mesh) -> NamedSharding:
+    return NamedSharding(mesh, P())
+
+
+def shard_batch(mesh: Mesh, batch: dict) -> dict:
+    """device_put every leaf with its sharding rule."""
+    shardings = batch_shardings(mesh, batch)
+    return {k: jax.device_put(v, shardings[k]) for k, v in batch.items()}

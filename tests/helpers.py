@@ -60,4 +60,5 @@ def make_batch(rng, B=1, S=3, H=64, W=96, levels=2, render_scales=(0.25, 1.0),
         else:
             idx = rng.integers(0, H_r * W_r, (B, num_rays[i])).astype(np.int32)
         batch[f"ray_idx_{i}"] = idx
+        batch[f"rgb_{i}"] = rng.uniform(0, 1, idx.shape + (3,)).astype(np.float32)
     return batch
