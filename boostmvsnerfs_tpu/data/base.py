@@ -1,0 +1,151 @@
+"""Shared multi-view dataset machinery.
+
+The reference builds per-target-view samples with CPU-side ray tensors
+(lib/datasets/enerf_utils.py:25-71). Here a sample carries *pixel indices*
+per cascade level instead of 8-float ray tensors: rays are reconstructed on
+device from the camera matrices (ops/geometry.rays_from_pixels), so the
+host->device payload per level shrinks from N x 8 floats to N x int32.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+try:
+    import cv2
+except Exception:  # pragma: no cover
+    cv2 = None
+
+
+def nearest_src_views(c2ws_train, c2w_tar, n, exclude_self: bool):
+    """Nearest-camera source-view selection (reference
+    lib/datasets/free/enerf_base.py:62-70)."""
+    dist = np.linalg.norm(c2ws_train[:, :3, 3] - c2w_tar[:3, 3][None], axis=-1)
+    order = np.argsort(dist)
+    if exclude_self:
+        order = order[1:]
+    return order[:n]
+
+
+def resize_area(img: np.ndarray, H: int, W: int) -> np.ndarray:
+    if img.shape[0] == H and img.shape[1] == W:
+        return img
+    if cv2 is not None:
+        return cv2.resize(img, (W, H), interpolation=cv2.INTER_AREA)
+    # coarse fallback: strided subsample
+    ys = (np.linspace(0, img.shape[0] - 1, H)).astype(int)
+    xs = (np.linspace(0, img.shape[1] - 1, W)).astype(int)
+    return img[ys][:, xs]
+
+
+class MultiViewDataset:
+    """Base for Free / ScanNet / DTU / custom datasets.
+
+    Subclasses populate ``self.scene_infos`` ({scene: {'c2ws', 'ixts',
+    'img_paths', 'depth_ranges', ...}}) and ``self.metas``
+    ([(scene, tar_view, src_views)]), and implement ``read_image``.
+    """
+
+    def __init__(self, cas_cfg, split: str, input_h_w=None):
+        self.cas = cas_cfg
+        self.split = split
+        self.input_h_w = tuple(input_h_w) if input_h_w else None
+        self.scene_infos = {}
+        self.metas = []
+
+    # -- subclass hooks -------------------------------------------------
+    def read_image(self, scene_info, view_idx, for_target: bool):
+        raise NotImplementedError
+
+    def scene_near_far(self, scene_info, tar_view) -> np.ndarray:
+        dr = np.asarray(scene_info["depth_ranges"])
+        return np.array([dr[:, 0].min(), dr[:, 1].max()], dtype=np.float32)
+
+    def camera(self, scene_info, view_idx, orig_size):
+        """(ixt scaled to input size, w2c ext)."""
+        c2w = scene_info["c2ws"][view_idx]
+        ixt = scene_info["ixts"][view_idx].copy()
+        if self.input_h_w is not None:
+            ixt[0] *= self.input_h_w[1] / orig_size[0]
+            ixt[1] *= self.input_h_w[0] / orig_size[1]
+        return ixt.astype(np.float32), np.linalg.inv(c2w).astype(np.float32)
+
+    # -- sample assembly ------------------------------------------------
+    def __len__(self):
+        return len(self.metas)
+
+    def get_sample(
+        self, index: int, input_views_num: int | None = None, rng=None
+    ) -> dict:
+        rng = rng or np.random.default_rng()
+        scene, tar_view, src_views = self.metas[index]
+        src_views = self.jitter_src_views(src_views, input_views_num, rng)
+        info = self.scene_infos[scene]
+
+        imgs, exts, ixts = [], [], []
+        for v in src_views:
+            img, orig = self.read_image(info, v, for_target=False)
+            imgs.append((img * 2.0 - 1.0).astype(np.float32))
+            ixt, ext = self.camera(info, v, orig)
+            ixts.append(ixt)
+            exts.append(ext)
+        src_inps = np.stack(imgs)  # (S, H, W, 3) in [-1, 1]
+
+        tar_img, orig = self.read_image(info, tar_view, for_target=True)
+        tar_ixt, tar_ext = self.camera(info, tar_view, orig)
+        tar_msk = self.target_mask(info, tar_view, tar_img)
+
+        sample = {
+            "src_inps": src_inps,
+            "src_exts": np.stack(exts),
+            "src_ixts": np.stack(ixts),
+            "all_src_inps": src_inps,
+            "all_src_exts": np.stack(exts),
+            "all_src_ixts": np.stack(ixts),
+            "tar_ext": tar_ext,
+            "tar_ixt": tar_ixt,
+            "near_far": self.scene_near_far(info, tar_view),
+            "meta": {"scene": scene, "tar_view": int(tar_view), "frame_id": 0},
+        }
+        if self.split != "train":
+            sample["tar_img"] = tar_img.astype(np.float32)
+            sample["tar_msk"] = tar_msk
+
+        H, W = tar_img.shape[:2]
+        for i in range(self.cas.num):
+            scale = self.cas.render_scale[i]
+            H_r, W_r = int(H * scale), int(W * scale)
+            img_i = resize_area(tar_img, H_r, W_r)
+            msk_i = resize_area(tar_msk.astype(np.float32), H_r, W_r) >= 0.5
+            if self.split == "train" and not self.cas.train_img[i]:
+                n = self.cas.num_rays[i]
+                idx = rng.integers(0, H_r * W_r, n).astype(np.int32)
+            else:
+                idx = np.arange(H_r * W_r, dtype=np.int32)
+            sample[f"ray_idx_{i}"] = idx
+            sample[f"rgb_{i}"] = img_i.reshape(-1, 3)[idx].astype(np.float32)
+            sample[f"msk_{i}"] = msk_i.reshape(-1)[idx]
+            sample["meta"][f"h_{i}"] = H_r
+            sample["meta"][f"w_{i}"] = W_r
+        return sample
+
+    def jitter_src_views(self, src_views, input_views_num, rng):
+        """Train-time source-view subsampling; default: truncate to the
+        requested count. DTU overrides with random jitter."""
+        if input_views_num is not None and len(src_views) > input_views_num:
+            return list(src_views)[:input_views_num]
+        return list(src_views)
+
+    def target_mask(self, scene_info, tar_view, tar_img) -> np.ndarray:
+        return np.ones(tar_img.shape[:2], dtype=np.uint8)
+
+
+def collate(samples: list[dict]) -> dict:
+    """Stack samples into a batch; 'meta' entries become lists."""
+    out = {}
+    for k in samples[0]:
+        if k == "meta":
+            out["meta"] = [s["meta"] for s in samples]
+        else:
+            out[k] = np.stack([s[k] for s in samples])
+    return out

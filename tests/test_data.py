@@ -1,0 +1,185 @@
+"""Data layer tests over synthetic on-disk fixtures."""
+
+import os
+
+import imageio.v2 as imageio
+import numpy as np
+import pytest
+
+from boostmvsnerfs_tpu.data.base import collate
+from boostmvsnerfs_tpu.data.formats import (
+    parse_poses_bounds,
+    read_mvsnet_cam,
+    read_pfm,
+    write_pfm,
+)
+from boostmvsnerfs_tpu.data.free import FreeDataset
+from boostmvsnerfs_tpu.data.loader import Loader
+from boostmvsnerfs_tpu.data.scannet import ScanNetDataset
+from boostmvsnerfs_tpu.models.enerf import CascadeConfig
+
+CAS = CascadeConfig(volume_planes=(16, 8))
+
+H_IMG, W_IMG = 64, 96
+
+
+def _write_free_scene(root, scene, n=16):
+    rng = np.random.default_rng(11)
+    os.makedirs(os.path.join(root, scene, "images_2"), exist_ok=True)
+    pb = np.zeros((n, 17), np.float64)
+    for i in range(n):
+        # 3x5 pose block: [down | right | -fwd | t | hwf]
+        angle = 0.2 * i
+        c2w = np.eye(4)
+        c2w[:3, 3] = [3 * np.sin(angle), 0.1, 3 * np.cos(angle)]
+        m = np.zeros((3, 5))
+        m[:3, 1] = c2w[:3, 0]
+        m[:3, 0] = c2w[:3, 1]
+        m[:3, 2] = -c2w[:3, 2]
+        m[:3, 3] = c2w[:3, 3]
+        m[0, 4], m[1, 4], m[2, 4] = H_IMG * 2, W_IMG * 2, 100.0
+        pb[i, :15] = m.reshape(-1)
+        pb[i, 15:] = [2.0, 8.0]
+        img = rng.integers(0, 255, (H_IMG, W_IMG, 3), dtype=np.uint8)
+        imageio.imwrite(os.path.join(root, scene, "images_2", f"{i:04d}.png"), img)
+    np.save(os.path.join(root, scene, "poses_bounds.npy"), pb)
+
+
+@pytest.fixture(scope="module")
+def free_root(tmp_path_factory):
+    root = str(tmp_path_factory.mktemp("free"))
+    _write_free_scene(root, "grass")
+    return root
+
+
+def test_parse_poses_bounds_roundtrip(free_root):
+    c2ws, ixts, dr = parse_poses_bounds(
+        os.path.join(free_root, "grass", "poses_bounds.npy")
+    )
+    assert c2ws.shape == (16, 4, 4) and ixts.shape == (16, 3, 3)
+    np.testing.assert_allclose(dr[0], [2.0, 8.0])
+    # rotation part orthonormal
+    R = c2ws[3, :3, :3]
+    np.testing.assert_allclose(R @ R.T, np.eye(3), atol=1e-5)
+    # focal halved for images_2
+    assert ixts[0, 0, 0] == 50.0
+
+
+def test_free_dataset_split_and_sample(free_root):
+    test_ds = FreeDataset(free_root, "test", CAS, input_h_w=(H_IMG, W_IMG), scenes=["grass"])
+    train_ds = FreeDataset(free_root, "train", CAS, input_h_w=(H_IMG, W_IMG), scenes=["grass"])
+    # every 8th frame is test: ids 0 and 8 of 16
+    assert len(test_ds) == 2
+    assert len(train_ds) == 14
+    s = test_ds.get_sample(0)
+    assert s["src_inps"].shape == (3, H_IMG, W_IMG, 3)
+    assert s["src_inps"].min() >= -1.0 and s["src_inps"].max() <= 1.0
+    assert s["tar_ext"].shape == (4, 4)
+    assert s["ray_idx_1"].shape == (H_IMG * W_IMG,)
+    assert s["rgb_1"].shape == (H_IMG * W_IMG, 3)
+    # source views must exclude the target and be train frames
+    scene, tar, srcs = test_ds.metas[0]
+    assert tar not in srcs
+    assert all(v % 8 != 0 for v in srcs)
+
+
+def test_free_train_ray_subsampling(free_root):
+    cas = CascadeConfig(
+        volume_planes=(16, 8), train_img=(False, False), num_rays=(64, 128)
+    )
+    ds = FreeDataset(free_root, "train", cas, input_h_w=(H_IMG, W_IMG), scenes=["grass"])
+    s = ds.get_sample(0, rng=np.random.default_rng(0))
+    assert s["ray_idx_0"].shape == (64,)
+    assert s["ray_idx_1"].shape == (128,)
+    assert s["rgb_1"].shape == (128, 3)
+
+
+def test_loader_sharding_and_epochs(free_root):
+    ds = FreeDataset(free_root, "train", CAS, input_h_w=(H_IMG, W_IMG), scenes=["grass"])
+    l0 = Loader(ds, batch_size=1, shuffle=True, num_processes=2, process_index=0)
+    l1 = Loader(ds, batch_size=1, shuffle=True, num_processes=2, process_index=1)
+    assert len(l0) == 7 and len(l1) == 7
+    i0 = l0._indices()
+    i1 = l1._indices()
+    assert set(i0).isdisjoint(set(i1))
+    # epoch-seeded shuffle changes order
+    l0.set_epoch(1)
+    assert not np.array_equal(i0, l0._indices())
+
+    # ep_iter wraparound
+    le = Loader(ds, batch_size=1, ep_iter=20)
+    batches = list(le)
+    assert len(batches) == 20
+    assert batches[0]["src_inps"].shape == (1, 3, H_IMG, W_IMG, 3)
+
+
+def test_loader_view_count_sampling(free_root):
+    ds = FreeDataset(
+        free_root, "train", CAS, input_h_w=(H_IMG, W_IMG), scenes=["grass"], n_train_views=4
+    )
+    loader = Loader(
+        ds, batch_size=1, input_views_num=[2, 3], input_views_prob=[0.5, 0.5],
+        seed=3,
+    )
+    counts = {b["src_inps"].shape[1] for b in loader}
+    assert counts <= {2, 3} and len(counts) == 2
+
+
+def test_pfm_roundtrip(tmp_path):
+    data = np.random.default_rng(0).standard_normal((8, 10)).astype(np.float32)
+    p = str(tmp_path / "d.pfm")
+    write_pfm(p, data)
+    back, _ = read_pfm(p)
+    np.testing.assert_allclose(back, data, rtol=1e-6)
+
+
+def test_mvsnet_cam_file(tmp_path):
+    p = str(tmp_path / "cam.txt")
+    ext = np.arange(16, dtype=np.float32).reshape(4, 4)
+    ixt = np.arange(9, dtype=np.float32).reshape(3, 3)
+    lines = ["extrinsic"]
+    lines += [" ".join(str(x) for x in row) for row in ext]
+    lines += ["", "intrinsic"]
+    lines += [" ".join(str(x) for x in row) for row in ixt]
+    lines += ["", "425.0 2.5"]
+    with open(p, "w") as f:
+        f.write("\n".join(lines))
+    got_ixt, got_ext, dmin = read_mvsnet_cam(p)
+    np.testing.assert_allclose(got_ext, ext)
+    np.testing.assert_allclose(got_ixt, ixt)
+    assert dmin == 425.0
+
+
+def test_scannet_dataset(tmp_path):
+    root = str(tmp_path / "scannet")
+    scene = "scene0000_01"
+    rng = np.random.default_rng(2)
+    os.makedirs(os.path.join(root, scene, "exported", "color"), exist_ok=True)
+    os.makedirs(os.path.join(root, scene, "exported", "pose"), exist_ok=True)
+    os.makedirs(os.path.join(root, scene, "exported", "intrinsic"), exist_ok=True)
+    os.makedirs(os.path.join(root, "splits", scene), exist_ok=True)
+    n = 6
+    for i in range(n):
+        img = rng.integers(0, 255, (48, 64, 3), dtype=np.uint8)
+        imageio.imwrite(os.path.join(root, scene, "exported", "color", f"{i}.jpg"), img)
+        c2w = np.eye(4)
+        c2w[:3, 3] = [0.1 * i, 0, 2.0]
+        np.savetxt(os.path.join(root, scene, "exported", "pose", f"{i}.txt"), c2w)
+    np.savetxt(
+        os.path.join(root, scene, "exported", "intrinsic", "intrinsic_color.txt"),
+        np.array([[60.0, 0, 32, 0], [0, 60, 24, 0], [0, 0, 1, 0], [0, 0, 0, 1]]),
+    )
+    with open(os.path.join(root, "splits", scene, "train.txt"), "w") as f:
+        f.write("\n".join(f"{i}.jpg" for i in [0, 1, 2, 4]))
+    with open(os.path.join(root, "splits", scene, "test.txt"), "w") as f:
+        f.write("\n".join(f"{i}.jpg" for i in [3, 5]))
+
+    ds = ScanNetDataset(root, "test", CAS, input_h_w=(H_IMG, W_IMG),
+                        scenes=[scene], split_root=os.path.join(root, "splits"))
+    assert len(ds) == 2
+    s = ds.get_sample(0)
+    # principal point recentered
+    np.testing.assert_allclose(s["tar_ixt"][0, 2], W_IMG / 2)
+    np.testing.assert_allclose(s["near_far"], [0.25, 6.0])
+    b = collate([s])
+    assert b["src_inps"].shape == (1, 3, H_IMG, W_IMG, 3)
