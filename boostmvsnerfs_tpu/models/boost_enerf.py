@@ -135,52 +135,63 @@ class BoostENeRF(ENeRF):
 
         ``batch['k_best']`` holds (B, K) combination ids (from the cached
         view selection); ``batch['combos']`` the static (n_combos, I) table.
+
+        TPU design note: the K selected cost volumes fold into the batch
+        axis (B*K) so the cascade traces ONCE regardless of K — the
+        reference instead loops K full pipelines per level
+        (lib/networks/boost_enerf/network.py:189-222), which would multiply
+        the compiled program size by K. The K axis also shards naturally
+        over a mesh axis this way.
         """
         cas = self.cas
         K = cas.k_best
+        B = batch["all_src_inps"].shape[0]
         combos = batch["combos"]  # (n_combos, I) int32
         sel = jnp.take(combos, batch["k_best"], axis=0)  # (B, K, I)
+        I = sel.shape[-1]
 
         feats_all = self.extract_features(batch["all_src_inps"], train)
 
-        ret = {}
-        prev = [None] * K
-        raws, masks, zs = [], [], []
-        last = cas.num - 1
-        for i in range(cas.num):
-            raws, masks, zs = [], [], []
-            for k in range(K):
-                views_k = sel[:, k]  # (B, I)
-                sub = dict(batch)
-                sub["src_inps"] = _take_views(batch["all_src_inps"], views_k)
-                sub["src_exts"] = _take_views(batch["all_src_exts"], views_k)
-                sub["src_ixts"] = _take_views(batch["all_src_ixts"], views_k)
-                feats_k = {
-                    lvl: _take_views(f, views_k) for lvl, f in feats_all.items()
-                }
-                feat_vol, depth, std, nf_map = self.build_level_volume(
-                    i, feats_k, sub["src_exts"], sub["src_ixts"],
-                    sub["tar_ext"], sub["tar_ixt"], sub["near_far"],
-                    prev[k], train,
-                )
-                prev[k] = (depth, std, nf_map)
-                if not cas.render_if[i]:
-                    continue
-                raw_out = self.render_level(
-                    i, feats_k, feat_vol, depth, std, nf_map, sub,
-                    batch[f"ray_idx_{i}"], train, return_raw=True,
-                )
-                raws.append(raw_out["net_output"])
-                masks.append(raw_out["mask"])
-                zs.append(raw_out["z_vals"])
+        def fold(x):  # gather per-k view subsets and fold K into batch
+            g = _take_views(x, sel.reshape(B, K * I))  # (B, K*I, ...)
+            return g.reshape(B * K, I, *x.shape[2:])
 
+        def rep(x):  # repeat target-side tensors K times along batch
+            return jnp.repeat(x, K, axis=0)
+
+        sub = {
+            "src_inps": fold(batch["all_src_inps"]),
+            "src_exts": fold(batch["all_src_exts"]),
+            "src_ixts": fold(batch["all_src_ixts"]),
+            "tar_ext": rep(batch["tar_ext"]),
+            "tar_ixt": rep(batch["tar_ixt"]),
+            "near_far": rep(batch["near_far"]),
+        }
+        feats = {lvl: fold(f) for lvl, f in feats_all.items()}
+
+        ret = {}
+        prev = None
+        for i in range(cas.num):
+            feat_vol, depth, std, nf_map = self.build_level_volume(
+                i, feats, sub["src_exts"], sub["src_ixts"], sub["tar_ext"],
+                sub["tar_ixt"], sub["near_far"], prev, train,
+            )
+            prev = (depth, std, nf_map)
             if not cas.render_if[i]:
                 continue
-            raws_k = jnp.stack(raws, axis=1)  # (B, K, N, Ns, 4)
-            masks_k = render.normalize_blend_masks(jnp.stack(masks, axis=1))
-            z_k = jnp.stack(zs, axis=1)
+            raw_out = self.render_level(
+                i, feats, feat_vol, depth, std, nf_map, sub,
+                rep(batch[f"ray_idx_{i}"]), train, return_raw=True,
+            )
+            # unfold K: (B*K, N, ...) -> (B, K, N, ...)
+            raws_k = raw_out["net_output"].reshape(B, K, *raw_out["net_output"].shape[1:])
+            masks_k = render.normalize_blend_masks(
+                raw_out["mask"].reshape(B, K, *raw_out["mask"].shape[1:])
+            )
+            z_k = raw_out["z_vals"].reshape(B, K, *raw_out["z_vals"].shape[1:])
             out = render.composite_blend(raws_k, masks_k, z_k)
-            depth0, std0 = prev[0][0], prev[0][1]
+            depth0 = depth.reshape(B, K, *depth.shape[1:])[:, 0]
+            std0 = std.reshape(B, K, *std.shape[1:])[:, 0]
             out["depth_mvs"] = 1.0 / depth0 if cas.depth_inv[i] else depth0
             out["std"] = std0
             ret.update({f"{key}_level{i}": v for key, v in out.items()})
