@@ -105,6 +105,9 @@ class MultiViewDataset:
             "tar_ext": tar_ext,
             "tar_ixt": tar_ixt,
             "near_far": self.scene_near_far(info, tar_view),
+            # per-source-view depth ranges (MVSNeRF per-cost-volume near/far,
+            # reference lib/datasets/free/mvsnerf_base.py adds these)
+            "depth_ranges": self.view_depth_ranges(info, src_views),
             "meta": {"scene": scene, "tar_view": int(tar_view), "frame_id": 0},
         }
         if self.split != "train":
@@ -138,6 +141,14 @@ class MultiViewDataset:
 
     def target_mask(self, scene_info, tar_view, tar_img) -> np.ndarray:
         return np.ones(tar_img.shape[:2], dtype=np.uint8)
+
+    def view_depth_ranges(self, scene_info, views) -> np.ndarray:
+        if "depth_ranges" in scene_info:
+            return np.asarray(
+                [scene_info["depth_ranges"][v] for v in views], np.float32
+            )
+        nf = self.scene_near_far(scene_info, views[0] if views else 0)
+        return np.tile(nf, (len(views), 1)).astype(np.float32)
 
 
 def collate(samples: list[dict]) -> dict:

@@ -1,0 +1,386 @@
+"""MVSNeRF backbone: single padded cost volume + NDC-space NeRF MLP.
+
+TPU-native re-design of reference lib/networks/mvsnerf/network.py:
+* ``MVSFeatureNet`` — single-scale 32ch@1/4 FPN trunk with BN+LeakyReLU
+  (the reference's InPlaceABN is a memory trick irrelevant under XLA;
+  numerics match its default leaky_relu(0.01) activation) — reference
+  network.py:695-732.
+* ``MVSCostRegNet`` — 3D U-Net to an 8ch neural encoding volume
+  (network.py:735-779).
+* ``build_volume`` — variance cost volume over 3 views with padding and
+  concatenated warped source RGB (9+32 channels), per-pixel valid-view
+  counts (network.py:887-942 ``build_volume_costvar_img``).
+* NDC parameterization against the reference (first) source view with
+  pad-aware coordinates (lib/networks/mvsnerf/utils.py:112-146).
+* ``RendererMLP`` — D=6/W=128 MLP with positional encoding (63ch),
+  ``pts_bias`` feature modulation, viewdir branch (network.py:150-229
+  ``Renderer_ours`` + :24-75 ``Embedder``).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+
+from boostmvsnerfs_tpu.ops import geometry, render, sampling
+
+kaiming = nn.initializers.kaiming_normal()
+
+
+@dataclasses.dataclass(frozen=True)
+class MVSNeRFConfig:
+    pad: int = 24
+    feat_dim: int = 8  # neural encoding volume channels
+    mlp_width: int = 128
+    mlp_depth: int = 6
+    skips: tuple = (4,)
+    pos_freqs: int = 10
+    num_samples: int = 32  # depth planes AND samples per ray
+    n_views: int = 3
+    near_far_scale: tuple = (0.8, 1.2)
+    k_best: int = 4
+    cost_volume_input_views: int = 3
+
+    @staticmethod
+    def from_cfg(cfg) -> "MVSNeRFConfig":
+        mv = cfg.get("mvsnerf", {}) if hasattr(cfg, "get") else {}
+        cas = cfg["enerf"]["cas_config"]
+        kw = {}
+        if mv:
+            for k in ("pad", "feat_dim", "mlp_width", "mlp_depth", "pos_freqs"):
+                if k in mv:
+                    kw[k] = mv[k]
+            if "near_far_scale" in mv:
+                kw["near_far_scale"] = tuple(mv["near_far_scale"])
+        kw["num_samples"] = int(cas["num_samples"][0])
+        if "k_best" in cas:
+            kw["k_best"] = int(cas["k_best"])
+        if "cost_volume_input_views" in cfg["enerf"]:
+            kw["cost_volume_input_views"] = int(cfg["enerf"]["cost_volume_input_views"])
+        return MVSNeRFConfig(**kw)
+
+
+class ConvBnLeaky(nn.Module):
+    features: int
+    kernel_size: tuple = (3, 3)
+    strides: tuple | None = None
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        strides = self.strides or (1,) * len(self.kernel_size)
+        x = nn.Conv(self.features, self.kernel_size, strides,
+                    padding="SAME", use_bias=False)(x)
+        x = nn.BatchNorm(use_running_average=not train, momentum=0.9,
+                         epsilon=1e-5)(x)
+        return nn.leaky_relu(x, 0.01)
+
+
+class DeconvBnLeaky(nn.Module):
+    features: int
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        x = nn.ConvTranspose(self.features, (3, 3, 3), strides=(2, 2, 2),
+                             padding="SAME", use_bias=False)(x)
+        x = nn.BatchNorm(use_running_average=not train, momentum=0.9,
+                         epsilon=1e-5)(x)
+        return nn.leaky_relu(x, 0.01)
+
+
+class MVSFeatureNet(nn.Module):
+    """(N, H, W, 3) -> (N, H/4, W/4, 32)."""
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        x = ConvBnLeaky(8)(x, train)
+        x = ConvBnLeaky(8)(x, train)
+        x = ConvBnLeaky(16, (5, 5), (2, 2))(x, train)
+        x = ConvBnLeaky(16)(x, train)
+        x = ConvBnLeaky(16)(x, train)
+        x = ConvBnLeaky(32, (5, 5), (2, 2))(x, train)
+        x = ConvBnLeaky(32)(x, train)
+        x = ConvBnLeaky(32)(x, train)
+        return nn.Conv(32, (1, 1), name="toplayer")(x)
+
+
+class MVSCostRegNet(nn.Module):
+    """(B, D, H, W, C) -> (B, D, H, W, 8) neural encoding volume."""
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        k3 = (3, 3, 3)
+        s2 = (2, 2, 2)
+        conv0 = ConvBnLeaky(8, k3)(x, train)
+        conv2 = ConvBnLeaky(16, k3, s2)(conv0, train)
+        conv2 = ConvBnLeaky(16, k3)(conv2, train)
+        conv4 = ConvBnLeaky(32, k3, s2)(conv2, train)
+        conv4 = ConvBnLeaky(32, k3)(conv4, train)
+        x = ConvBnLeaky(64, k3, s2)(conv4, train)
+        x = ConvBnLeaky(64, k3)(x, train)
+        x = conv4 + DeconvBnLeaky(32)(x, train)
+        x = conv2 + DeconvBnLeaky(16)(x, train)
+        x = conv0 + DeconvBnLeaky(8)(x, train)
+        return x
+
+
+def positional_encoding(x: jnp.ndarray, n_freqs: int) -> jnp.ndarray:
+    """[x, sin(2^k x), cos(2^k x)] for k in 0..n_freqs-1 (reference
+    network.py:24-75, include_input=True, log sampling)."""
+    freqs = 2.0 ** jnp.arange(n_freqs, dtype=jnp.float32)
+    xs = x[..., None, :] * freqs[:, None]  # (..., F, d)
+    xs = xs.reshape(*x.shape[:-1], -1)
+    return jnp.concatenate([x, jnp.sin(xs), jnp.cos(xs)], axis=-1)
+
+
+class RendererMLP(nn.Module):
+    """Renderer_ours (reference network.py:152-229): feature-modulated trunk
+    with skip, relu alpha head, sigmoid rgb head on a viewdir branch."""
+
+    cfg: MVSNeRFConfig
+
+    @nn.compact
+    def __call__(self, pts_enc, feat, viewdirs):
+        W = self.cfg.mlp_width
+        h = pts_enc
+        bias = nn.Dense(W, kernel_init=kaiming, name="pts_bias")(feat)
+        for i in range(self.cfg.mlp_depth):
+            h = nn.Dense(W, kernel_init=kaiming, name=f"pts_{i}")(h) * bias
+            h = nn.relu(h)
+            if i in self.cfg.skips:
+                h = jnp.concatenate([pts_enc, h], axis=-1)
+        alpha = nn.relu(nn.Dense(1, kernel_init=kaiming, name="alpha")(h))
+        feature = nn.Dense(W, kernel_init=kaiming, name="feature")(h)
+        h = jnp.concatenate([feature, viewdirs], axis=-1)
+        h = nn.relu(nn.Dense(W // 2, kernel_init=kaiming, name="views_0")(h))
+        rgb = nn.sigmoid(nn.Dense(3, kernel_init=kaiming, name="rgb")(h))
+        return jnp.concatenate([rgb, alpha], axis=-1)
+
+
+def mvs_proj_mats(src_ixts, src_exts, feat_scale: float = 0.25) -> jnp.ndarray:
+    """Source-view projections relative to the reference (first) view,
+    (B, V, 3, 4) with identity for view 0 (reference network.py:1092-1114)."""
+    ixts = geometry.scale_ixt(src_ixts, feat_scale)
+    proj = jnp.zeros(src_exts.shape[:2] + (4, 4))
+    proj = proj.at[..., 3, 3].set(1.0)
+    proj = proj.at[..., :3, :].set(ixts @ src_exts[..., :3, :])
+    ref_inv = jnp.linalg.inv(proj[:, :1])
+    rel = proj @ ref_inv
+    eye = jnp.broadcast_to(jnp.eye(4), rel[:, :1].shape)
+    rel = jnp.concatenate([eye, rel[:, 1:]], axis=1)
+    return rel[..., :3, :]
+
+
+def ndc_coords(
+    w2c_ref, ixt_ref, pts, inv_scale, near, far, pad: int, feat_hw
+) -> jnp.ndarray:
+    """Pad-aware NDC coordinates in the reference view, components in [0,1]
+    (reference lib/networks/mvsnerf/utils.py:112-146)."""
+    R = w2c_ref[..., :3, :3]
+    T = w2c_ref[..., :3, 3]
+    cam = pts @ jnp.swapaxes(R, -1, -2) + T[..., None, :]
+    pix = cam @ jnp.swapaxes(ixt_ref, -1, -2)
+    xy = pix[..., :2] / pix[..., 2:3] / inv_scale
+    z = (pix[..., 2:3] - near) / (far - near)
+    uvd = jnp.concatenate([xy, z], axis=-1)
+    if pad > 0:
+        Hf, Wf = feat_hw
+        scale = jnp.asarray(
+            [Wf / (Wf + 2 * pad), Hf / (Hf + 2 * pad), 1.0], jnp.float32
+        )
+        off = jnp.asarray(
+            [pad / (Wf + 2 * pad), pad / (Hf + 2 * pad), 0.0], jnp.float32
+        )
+        uvd = uvd * scale + off
+    return uvd
+
+
+class MVSNeRF(nn.Module):
+    """Single-cost-volume MVSNeRF forward (reference network.py:1092-1126)."""
+
+    cfg: MVSNeRFConfig = MVSNeRFConfig()
+
+    def setup(self):
+        self.feature = MVSFeatureNet()
+        self.cost_reg = MVSCostRegNet()
+        self.renderer = RendererMLP(self.cfg)
+
+    def extract_features(self, all_src_inps, train: bool):
+        B, V, H, W, C = all_src_inps.shape
+        f = self.feature(all_src_inps.reshape(B * V, H, W, C), train)
+        return f.reshape(B, V, *f.shape[1:])  # (B, V, H/4, W/4, 32)
+
+    def build_volume(self, src_inps, feats, proj_mats, depth_values, train):
+        """Padded variance+RGB cost volume -> regularized 8ch volume.
+
+        src_inps (B,V,H,W,3) in [-1,1]; feats (B,V,h,w,32);
+        depth_values (B,D). Returns (B, D, h+2p, w+2p, 8).
+        Reference network.py:887-942: channels = [ref RGB, warped src RGBs,
+        per-pixel-count-normalized variance of features].
+        """
+        cfg = self.cfg
+        B, V, h, w, C = feats.shape
+        D = depth_values.shape[1]
+        p = cfg.pad
+        hp, wp = h + 2 * p, w + 2 * p
+
+        # resize images to feature res (align_corners=False bilinear to
+        # match the reference's F.interpolate default, network.py:905)
+        imgs = jax.image.resize(
+            src_inps, (B, V, h, w, 3), method="bilinear"
+        )
+
+        # target grid (padded): pixel coords from -pad .. h+pad-1
+        grid = geometry.pixel_grid(hp, wp) - p  # (hp, wp, 2)
+        ones = jnp.ones_like(grid[..., :1])
+        g = jnp.concatenate([grid, ones], axis=-1)  # (hp, wp, 3)
+
+        ref_feat = jnp.pad(feats[:, 0], ((0, 0), (p, p), (p, p), (0, 0)))
+        vol_sum = jnp.broadcast_to(ref_feat[:, None], (B, D, hp, wp, C))
+        vol_sq = vol_sum**2
+        counts = jnp.ones((B, 1, hp, wp, 1))  # valid-view count per voxel
+        counts = jnp.broadcast_to(counts, (B, D, hp, wp, 1))
+
+        rgb_ref = jnp.pad(
+            imgs[:, 0] * 0.5 + 0.5, ((0, 0), (p, p), (p, p), (0, 0))
+        )
+        rgb_chans = [jnp.broadcast_to(rgb_ref[:, None], (B, D, hp, wp, 3))]
+
+        for v in range(1, V):
+            pm = proj_mats[:, v]  # (B, 3, 4)
+            base = jnp.einsum("hwc,brc->bhwr", g, pm[:, :, :3])
+            src = base[:, None] + pm[:, None, None, None, :, 3] / depth_values[
+                :, :, None, None, None
+            ]  # (B, D, hp, wp, 3)
+            xy = src[..., :2] / src[..., 2:3]
+
+            def samp(img, coords):
+                return sampling.grid_sample_2d(
+                    img, coords.reshape(-1, 2), "zeros"
+                ).reshape(D, hp, wp, -1)
+
+            wf = jax.vmap(samp)(feats[:, v], xy)
+            wrgb = jax.vmap(samp)(imgs[:, v] * 0.5 + 0.5, xy)
+            valid = (
+                (xy[..., 0] >= 0) & (xy[..., 0] <= w - 1)
+                & (xy[..., 1] >= 0) & (xy[..., 1] <= h - 1)
+            )[..., None].astype(jnp.float32)
+            vol_sum = vol_sum + wf
+            vol_sq = vol_sq + wf * wf
+            counts = counts + valid
+            rgb_chans.append(wrgb)
+
+        inv_c = 1.0 / counts
+        var = vol_sq * inv_c - (vol_sum * inv_c) ** 2
+        volume = jnp.concatenate(rgb_chans + [var], axis=-1)  # (B,D,hp,wp,9+32)
+        return self.cost_reg(volume, train)
+
+    def render_volume(
+        self, batch, volume, ray_idx, near, far, train, with_mask: bool = True
+    ):
+        """Ray march + NDC sampling + MLP; returns raw per-sample outputs.
+
+        Reference network.py:979-1000 ``rendering`` + :1002-1040
+        ``render_rays``; no serial chunking — rays shard over the mesh.
+        """
+        cfg = self.cfg
+        B, V, H, W, _ = batch["src_inps"].shape
+        D = cfg.num_samples
+        h, w = H // 4, W // 4
+
+        xy = geometry.flat_idx_to_xy(ray_idx, W)
+        ray_o, ray_d = geometry.rays_from_pixels(
+            batch["tar_ixt"], batch["tar_ext"], xy
+        )
+        t = jnp.linspace(0.0, 1.0, D)
+        z_vals = near[..., None, None] * (1.0 - t) + far[..., None, None] * t
+        z_vals = jnp.broadcast_to(z_vals, (B, xy.shape[1], D))
+        world_xyz = ray_o[..., None, :] + ray_d[..., None, :] * z_vals[..., None]
+
+        inv_scale = jnp.asarray([W - 1, H - 1], jnp.float32)
+        uvd = ndc_coords(
+            batch["src_exts"][:, 0],
+            batch["src_ixts"][:, 0],
+            world_xyz.reshape(B, -1, 3),
+            inv_scale,
+            near.reshape(B, 1, 1),
+            far.reshape(B, 1, 1),
+            cfg.pad,
+            (h, w),
+        )  # (B, N*D, 3) in [0,1]
+
+        # trilinear volume features (align-corners over padded volume)
+        Dp, hp, wp = volume.shape[1:4]
+        vox_xyz = uvd * jnp.asarray([wp - 1, hp - 1, Dp - 1], jnp.float32)
+        ray_feats = jax.vmap(
+            lambda vol, pts: sampling.grid_sample_3d(vol, pts, "zeros")
+        )(volume, vox_xyz)  # (B, N*D, 8)
+
+        # per-view colors + in-mask (build_color_volume, utils.py:300-332)
+        rgbs = render.unpreprocess(batch["src_inps"])
+        color_feats = []
+        pts = world_xyz.reshape(B, -1, 3)
+        for v in range(V):
+            xy_v, depth_v = geometry.project_points(
+                pts, batch["src_exts"][:, v], batch["src_ixts"][:, v],
+            )
+            col = jax.vmap(
+                lambda img, c: sampling.grid_sample_2d(img, c, "border")
+            )(rgbs[:, v], xy_v)
+            in_mask = (
+                (xy_v[..., 0] >= 0) & (xy_v[..., 0] <= W - 1)
+                & (xy_v[..., 1] >= 0) & (xy_v[..., 1] <= H - 1)
+            ).astype(jnp.float32)[..., None]
+            color_feats.append(jnp.concatenate([col, in_mask], axis=-1))
+        input_feat = jnp.concatenate([ray_feats] + color_feats, axis=-1)  # 8+4V
+
+        # view directions in the reference camera frame (gen_dir_feature)
+        dirs = ray_d / jnp.linalg.norm(ray_d, axis=-1, keepdims=True)
+        R_ref = batch["src_exts"][:, 0, :3, :3]
+        dirs_ref = dirs @ jnp.swapaxes(R_ref, -1, -2)  # (B, N, 3)
+        dirs_ref = jnp.broadcast_to(
+            dirs_ref[:, :, None, :], world_xyz.shape
+        ).reshape(B, -1, 3)
+
+        pts_enc = positional_encoding(uvd, cfg.pos_freqs)  # (B, N*D, 63)
+        raw = self.renderer(pts_enc, input_feat, dirs_ref)
+        raw = raw.reshape(B, -1, D, 4)
+
+        out = {"net_output": raw, "z_vals": z_vals}
+        if with_mask:
+            out["mask"] = jax.lax.stop_gradient(
+                render.mask_viewport(
+                    world_xyz, batch["src_exts"], batch["src_ixts"],
+                    jnp.broadcast_to(inv_scale[None], (B, 2)),
+                )
+            )
+        return out
+
+    def __call__(self, batch: dict, train: bool = False) -> dict:
+        cfg = self.cfg
+        V = cfg.n_views
+        feats = self.extract_features(batch["all_src_inps"], train)
+
+        sub = dict(batch)
+        sub["src_inps"] = batch["all_src_inps"][:, :V]
+        sub["src_exts"] = batch["all_src_exts"][:, :V]
+        sub["src_ixts"] = batch["all_src_ixts"][:, :V]
+
+        dr = batch["depth_ranges"][:, :V]  # (B, V, 2)
+        near = jnp.min(dr[..., 0], axis=1) * cfg.near_far_scale[0]  # (B,)
+        far = jnp.max(dr[..., 1], axis=1) * cfg.near_far_scale[1]
+
+        t = jnp.linspace(0.0, 1.0, cfg.num_samples)
+        depth_values = near[:, None] * (1 - t) + far[:, None] * t  # (B, D)
+
+        pm = mvs_proj_mats(sub["src_ixts"], sub["src_exts"])
+        volume = self.build_volume(
+            sub["src_inps"], feats[:, :V], pm, depth_values, train
+        )
+        raw_out = self.render_volume(
+            sub, volume, batch["ray_idx_0"], near, far, train, with_mask=False
+        )
+        out = render.composite(raw_out["net_output"], raw_out["z_vals"])
+        return {f"{k}_level0": v for k, v in out.items()}

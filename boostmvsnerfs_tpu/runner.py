@@ -1,0 +1,326 @@
+"""Experiment runner: network factory, view-selection preprocessing,
+evaluation, visualization, and the training loop.
+
+The TPU-native equivalent of the reference entry points ``run.py`` and
+``train_net.py``: type-dispatched runs (reference run.py:164-165), the
+view-selection offline pass writing ``view_selection.json``
+(run.py:39-69), evaluation with per-scene metrics + FPS (run.py:87-129),
+and the epoch training loop with checkpoint/resume (train_net.py:19-70).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import time
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from boostmvsnerfs_tpu.data import make_dataset
+from boostmvsnerfs_tpu.data.loader import Loader
+from boostmvsnerfs_tpu.models.boost_enerf import (
+    BoostENeRF,
+    search_k_best,
+    view_combinations,
+)
+from boostmvsnerfs_tpu.models.enerf import CascadeConfig, ENeRF
+
+
+# ---------------------------------------------------------------------------
+# factories
+# ---------------------------------------------------------------------------
+
+def make_network(cfg):
+    """Model from cfg.network_module (registry replacing the reference's
+    imp.load_source factory, lib/networks/make_network.py:3-10)."""
+    module = cfg["network_module"]
+    cas = CascadeConfig.from_cfg(cfg["enerf"])
+    if "boost_enerf" in module:
+        return BoostENeRF(cas=cas)
+    if "boost_mvsnerf" in module:
+        from boostmvsnerfs_tpu.models.boost_mvsnerf import BoostMVSNeRF
+
+        return BoostMVSNeRF(cfg=_mvsnerf_cfg(cfg))
+    if "mvsnerf" in module:
+        from boostmvsnerfs_tpu.models.mvsnerf import MVSNeRF
+
+        return MVSNeRF(cfg=_mvsnerf_cfg(cfg))
+    if "enerf" in module:
+        return ENeRF(cas=cas)
+    raise ValueError(f"unknown network module: {module}")
+
+
+def _mvsnerf_cfg(cfg):
+    from boostmvsnerfs_tpu.models.mvsnerf import MVSNeRFConfig
+
+    return MVSNeRFConfig.from_cfg(cfg)
+
+
+def requires_view_selection(cfg) -> bool:
+    return bool(cfg.get("enerf", {}).get("require_view_selection", False)) or \
+        "boost" in cfg.get("network_module", "")
+
+
+def to_device_batch(np_batch: dict) -> dict:
+    return {
+        k: jnp.asarray(v) for k, v in np_batch.items() if k != "meta"
+    } | {"meta": np_batch["meta"]}
+
+
+def host_sync(tree):
+    """Force completion of a device computation (block_until_ready is not
+    reliable on freshly compiled executables on the axon remote backend)."""
+    for leaf in jax.tree_util.tree_leaves(tree):
+        if hasattr(leaf, "ravel"):
+            np.asarray(jax.device_get(leaf.ravel()[0]))
+    return tree
+
+
+# ---------------------------------------------------------------------------
+# view selection (offline pass -> view_selection.json)
+# ---------------------------------------------------------------------------
+
+def view_selection_path(cfg) -> str:
+    return os.path.join(cfg["result_dir"], "view_selection.json")
+
+
+def run_view_selection(cfg, model, variables, loaders) -> dict:
+    """Greedy per-target-view combo selection over train+test loaders,
+    cached to view_selection.json (reference run.py:39-69 +
+    boost_enerf/network.py:97-121)."""
+    n_views = int(cfg["enerf"]["test_input_views"])
+    n_input = int(cfg["enerf"].get("cost_volume_input_views", 3))
+    k = int(cfg["enerf"]["cas_config"]["k_best"])
+    combos = view_combinations(n_views, n_input)
+    combos_j = jnp.asarray(combos)
+
+    mask_fn = jax.jit(
+        lambda v, b, c: model.apply(
+            v, b, c, method=BoostENeRF.forward_view_selection
+        )
+    )
+
+    results = {}
+    for loader in loaders:
+        for np_batch in loader:
+            batch = to_device_batch(np_batch)
+            masks = np.asarray(mask_fn(variables, batch, combos_j))
+            # (n_combos, B, H, W)
+            for b, meta in enumerate(np_batch["meta"]):
+                key = f"{meta['scene']}_{meta['tar_view']}"
+                picks = search_k_best(masks[:, b], k)
+                # pad with repeats to exactly k entries (static shapes)
+                while len(picks) < k:
+                    picks.append(picks[-1])
+                results[key] = picks
+    os.makedirs(cfg["result_dir"], exist_ok=True)
+    with open(view_selection_path(cfg), "w") as f:
+        json.dump(results, f)
+    return results
+
+
+def load_view_selection(cfg) -> dict:
+    with open(view_selection_path(cfg)) as f:
+        return json.load(f)
+
+
+def attach_boost_inputs(np_batch, view_selection, cfg):
+    """Add combos table + per-sample k_best ids to a batch."""
+    n_views = np_batch["all_src_inps"].shape[1]
+    n_input = int(cfg["enerf"].get("cost_volume_input_views", 3))
+    np_batch["combos"] = view_combinations(n_views, n_input)
+    k_best = [
+        view_selection[f"{m['scene']}_{m['tar_view']}"] for m in np_batch["meta"]
+    ]
+    np_batch["k_best"] = np.asarray(k_best, np.int32)
+    return np_batch
+
+
+# ---------------------------------------------------------------------------
+# evaluation
+# ---------------------------------------------------------------------------
+
+def run_evaluate(cfg, model=None, variables=None):
+    from boostmvsnerfs_tpu.eval.evaluator import Evaluator
+
+    cas = CascadeConfig.from_cfg(cfg["enerf"])
+    model = model or make_network(cfg)
+    dataset = make_dataset(cfg, "test")
+    loader = Loader(dataset, batch_size=int(cfg["test"]["batch_size"]))
+
+    boost = requires_view_selection(cfg)
+    vs = None
+    if boost:
+        if not os.path.exists(view_selection_path(cfg)):
+            vs_model = model
+            if variables is None:
+                variables = _init_or_load(cfg, model, dataset, boost)
+            run_view_selection(cfg, vs_model, variables, [loader])
+        vs = load_view_selection(cfg)
+
+    if variables is None:
+        variables = _init_or_load(cfg, model, dataset, boost)
+
+    evaluator = Evaluator(
+        cas,
+        eval_lpips=bool(cfg.get("eval_lpips", False)) and _lpips_available(cfg),
+        lpips_fn=_load_lpips(cfg),
+        eval_depth=bool(cfg["enerf"].get("eval_depth", False)),
+        eval_center=bool(cfg["enerf"].get("eval_center", False)),
+        save_result=bool(cfg.get("save_result", False)),
+        result_dir=cfg.get("result_dir"),
+    )
+    fwd = jax.jit(lambda v, b: model.apply(v, b, False))
+
+    net_times = []
+    for np_batch in loader:
+        if boost:
+            np_batch = attach_boost_inputs(np_batch, vs, cfg)
+        batch = to_device_batch(np_batch)
+        dev_batch = {k: v for k, v in batch.items() if k != "meta"}
+        t0 = time.perf_counter()
+        out = host_sync(fwd(variables, dev_batch))
+        net_times.append(time.perf_counter() - t0)
+        evaluator.evaluate({k: np.asarray(v) for k, v in out.items()}, np_batch)
+    ret = evaluator.summarize()
+    if len(net_times) > 1:
+        fps = 1.0 / float(np.mean(net_times[1:]))
+        print(f"FPS: {fps:.3f}")
+        ret["fps"] = fps
+    return ret
+
+
+def _lpips_available(cfg) -> bool:
+    w = cfg.get("lpips_weights", {})
+    return bool(w) and os.path.exists(w.get("vgg", "")) and os.path.exists(
+        w.get("lin", "")
+    )
+
+
+def _load_lpips(cfg):
+    if not _lpips_available(cfg):
+        return None
+    from boostmvsnerfs_tpu.eval.lpips import load_lpips
+
+    w = cfg["lpips_weights"]
+    lp = load_lpips(w["vgg"], w["lin"])
+    return jax.jit(lp.__call__)
+
+
+def _init_or_load(cfg, model, dataset, boost):
+    """Initialize params and restore trained weights if available."""
+    from boostmvsnerfs_tpu.train.checkpoint import CheckpointManager
+
+    np_batch = Loader(dataset, batch_size=1).__iter__().__next__()
+    if boost:
+        n_views = np_batch["all_src_inps"].shape[1]
+        n_input = int(cfg["enerf"].get("cost_volume_input_views", 3))
+        np_batch["combos"] = view_combinations(n_views, n_input)
+        k = int(cfg["enerf"]["cas_config"]["k_best"])
+        np_batch["k_best"] = np.zeros((1, k), np.int32)
+    batch = {k: jnp.asarray(v) for k, v in np_batch.items() if k != "meta"}
+    variables = model.init(jax.random.PRNGKey(0), batch, False)
+    mgr = CheckpointManager(cfg["trained_model_dir"])
+    restored = mgr.restore(variables)
+    if restored is not None:
+        variables = restored
+        print(f"loaded weights from {mgr.latest_path()}")
+    else:
+        print("WARNING: no trained weights found; using random init")
+    return variables
+
+
+# ---------------------------------------------------------------------------
+# training
+# ---------------------------------------------------------------------------
+
+def run_train(cfg):
+    from boostmvsnerfs_tpu.parallel.train import (
+        TrainState,
+        create_train_state,
+        make_train_step,
+    )
+    from boostmvsnerfs_tpu.train.checkpoint import CheckpointManager, load_pretrain
+    from boostmvsnerfs_tpu.train.recorder import Recorder
+    from boostmvsnerfs_tpu.train.schedule import make_optimizer
+
+    cas = CascadeConfig.from_cfg(cfg["enerf"])
+    model = make_network(cfg)
+    train_ds = make_dataset(cfg, "train")
+    sampler_meta = cfg["train"].get("sampler_meta", {})
+    loader = Loader(
+        train_ds,
+        batch_size=int(cfg["train"]["batch_size"]),
+        shuffle=True,
+        ep_iter=int(cfg.get("ep_iter", -1)),
+        input_views_num=sampler_meta.get("input_views_num"),
+        input_views_prob=sampler_meta.get("input_views_prob"),
+        num_processes=jax.process_count(),
+        process_index=jax.process_index(),
+    )
+    ep_iter = len(loader)
+    tx = make_optimizer(cfg["train"], ep_iter)
+
+    boost = requires_view_selection(cfg)
+    vs = None
+    if boost:
+        if not os.path.exists(view_selection_path(cfg)):
+            ds_test = make_dataset(cfg, "test")
+            tmp_vars = _init_or_load(cfg, model, ds_test, boost)
+            run_view_selection(
+                cfg, model, tmp_vars,
+                [Loader(train_ds, 1), Loader(ds_test, 1)],
+            )
+        vs = load_view_selection(cfg)
+
+    first = next(iter(Loader(train_ds, batch_size=int(cfg["train"]["batch_size"]))))
+    if boost:
+        first = attach_boost_inputs(first, vs, cfg)
+    init_batch = {k: jnp.asarray(v) for k, v in first.items() if k != "meta"}
+    state = create_train_state(model, tx, init_batch)
+
+    mgr = CheckpointManager(cfg["trained_model_dir"])
+    recorder = Recorder(cfg.get("record_dir"), enabled=jax.process_index() == 0)
+    begin_epoch = 0
+    restored = mgr.restore(state) if cfg.get("resume", True) else None
+    if restored is not None:
+        state = restored
+        begin_epoch = int(np.asarray(state.step)) // max(ep_iter, 1)
+        print(f"resumed at epoch {begin_epoch}")
+    elif cfg.get("pretrain"):
+        pre_dir = os.path.join(
+            cfg["workspace"], "trained_model", "pretrain", cfg["pretrain"]
+        )
+        pre = load_pretrain(pre_dir, {"params": state.params,
+                                      "batch_stats": state.batch_stats})
+        if pre is not None:
+            state = state.replace(params=pre["params"],
+                                  batch_stats=pre["batch_stats"])
+            print(f"warm start from {pre_dir}")
+
+    step_fn = make_train_step(model, tx)
+    epochs = int(cfg["train"]["epoch"])
+    log_interval = int(cfg.get("log_interval", 20))
+    for epoch in range(begin_epoch, epochs):
+        loader.set_epoch(epoch)
+        t_ep = time.time()
+        for it, np_batch in enumerate(loader):
+            if boost:
+                np_batch = attach_boost_inputs(np_batch, vs, cfg)
+            batch = {k: jnp.asarray(v) for k, v in np_batch.items() if k != "meta"}
+            state, stats = step_fn(state, batch)
+            recorder.step += 1
+            if it % log_interval == 0:
+                host_sync(stats)
+                recorder.update({k: float(v) for k, v in stats.items()})
+                recorder.record("train")
+                print(f"epoch {epoch} iter {it}/{ep_iter} {recorder}", flush=True)
+        if jax.process_index() == 0:
+            save_ep = int(cfg.get("save_ep", 1))
+            latest_ep = int(cfg.get("save_latest_ep", 1))
+            if (epoch + 1) % save_ep == 0 or (epoch + 1) % latest_ep == 0:
+                mgr.save(state, epoch, latest=True)
+        print(f"epoch {epoch} done in {time.time()-t_ep:.1f}s", flush=True)
+    return state
