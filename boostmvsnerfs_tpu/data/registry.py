@@ -15,6 +15,7 @@ def make_dataset(cfg, split: str):
     ds_cfg = cfg["train_dataset" if split == "train" else "test_dataset"]
     module = cfg["train_dataset_module" if split == "train" else "test_dataset_module"]
     cas = CascadeConfig.from_cfg(cfg["enerf"])
+    module = module.rsplit(".", 1)[-1]
     data_root = os.path.join(cfg["workspace"], ds_cfg["data_root"])
     input_h_w = ds_cfg.get("input_h_w")
     scene = cfg.get("scene") or None

@@ -122,6 +122,97 @@ def warp_src_view(
     ).reshape(D, Ht, Wt, src_feat.shape[-1])
 
 
+def _window_origin(coord_min: jnp.ndarray, size: int, limit: int) -> jnp.ndarray:
+    """Clamped int window start so the window stays inside [0, limit)."""
+    start = jnp.floor(coord_min).astype(jnp.int32) - 1
+    return jnp.clip(start, 0, max(limit - size, 0))
+
+
+def warp_src_view_windowed(
+    src_feat: jnp.ndarray,  # (Hs, Ws, C)
+    proj_mat: jnp.ndarray,  # (3, 4)
+    depth_values: jnp.ndarray,  # (D, Ht, Wt)
+    window_h: int,
+    window_w: int,
+) -> jnp.ndarray:
+    """Plane-sweep warp as windowed interpolation matmuls (no gathers).
+
+    TPU re-design of the ``homo_warp`` gather: for every (depth plane, target
+    row) the needed source pixels lie in a narrow band, so the bilinear
+    gather becomes (1) a dynamic-slice of a (window_h, window_w, C) source
+    window and (2) two triangle-weight contractions — the wide one on the
+    MXU. Triangle weights relu(1 - |x - j|) over absolute coordinates
+    reproduce grid_sample's zeros-padding exactly; correctness requires only
+    that in-image taps fall inside the window (window sizes are per-level
+    static config; tests verify equality with the gather path).
+    """
+    D, Ht, Wt = depth_values.shape
+    Hs, Ws, C = src_feat.shape
+    window_h = min(window_h, Hs)
+    window_w = min(window_w, Ws)
+    R = proj_mat[:, :3]
+    T = proj_mat[:, 3]
+    grid = geometry.pixel_grid(Ht, Wt)
+    g = jnp.concatenate([grid, jnp.ones_like(grid[..., :1])], axis=-1)
+    base = g @ R.T  # (Ht, Wt, 3)
+    src = base[None] + T[None, None, None] / depth_values[..., None]
+    xy = src[..., :2] / jnp.maximum(src[..., 2:3], 1e-6)  # (D, Ht, Wt, 2)
+    x, y = xy[..., 0], xy[..., 1]
+
+    x0 = _window_origin(jnp.min(x, axis=-1), window_w, Ws)  # (D, Ht)
+    y0 = _window_origin(jnp.min(y, axis=-1), window_h, Hs)
+
+    jx = jnp.arange(window_w, dtype=jnp.float32)
+    jy = jnp.arange(window_h, dtype=jnp.float32)
+
+    def row_warp(args):
+        x_r, y_r, x0_r, y0_r = args  # (Wt,), (Wt,), (), ()
+        win = jax.lax.dynamic_slice(
+            src_feat, (y0_r, x0_r, 0), (window_h, window_w, C)
+        )
+        ax = jnp.maximum(
+            0.0, 1.0 - jnp.abs(x_r[:, None] - x0_r - jx[None, :])
+        )  # (Wt, window_w)
+        ay = jnp.maximum(
+            0.0, 1.0 - jnp.abs(y_r[:, None] - y0_r - jy[None, :])
+        )  # (Wt, window_h)
+        tmp = jnp.einsum(
+            "tx,yxc->tyc", ax, win, preferred_element_type=jnp.float32
+        )
+        return jnp.einsum("ty,tyc->tc", ay, tmp)
+
+    # rows within a plane vectorize (batched MXU matmuls, ~Ht windows live);
+    # planes run under a sequential scan to bound window memory at
+    # Ht * window_h * window_w * C floats.
+    def plane_warp(args):
+        x_p, y_p, x0_p, y0_p = args  # (Ht, Wt), ..., (Ht,), (Ht,)
+        return jax.vmap(row_warp)((x_p, y_p, x0_p, y0_p))
+
+    out = jax.lax.map(plane_warp, (x, y, x0, y0))  # (D, Ht, Wt, C)
+    return out
+
+
+def variance_volume_windowed(
+    src_feats: jnp.ndarray,  # (S, Hs, Ws, C)
+    proj_mats: jnp.ndarray,  # (S, 3, 4)
+    depth_values: jnp.ndarray,  # (D, Ht, Wt)
+    window_h: int,
+    window_w: int,
+) -> jnp.ndarray:
+    """variance_volume built on the windowed matmul warp."""
+    S = src_feats.shape[0]
+    vol_sum = 0.0
+    vol_sq = 0.0
+    for s in range(S):
+        w = warp_src_view_windowed(
+            src_feats[s], proj_mats[s], depth_values, window_h, window_w
+        )
+        vol_sum = vol_sum + w
+        vol_sq = vol_sq + w * w
+    mean = vol_sum / S
+    return vol_sq / S - mean * mean
+
+
 def variance_volume(
     src_feats: jnp.ndarray,  # (S, Hs, Ws, C)
     proj_mats: jnp.ndarray,  # (S, 3, 4)

@@ -35,21 +35,25 @@ from boostmvsnerfs_tpu.models.enerf import CascadeConfig, ENeRF
 def make_network(cfg):
     """Model from cfg.network_module (registry replacing the reference's
     imp.load_source factory, lib/networks/make_network.py:3-10)."""
-    module = cfg["network_module"]
+    name = cfg["network_module"].rsplit(".", 1)[-1]
     cas = CascadeConfig.from_cfg(cfg["enerf"])
-    if "boost_enerf" in module:
+    if name == "boost_enerf":
         return BoostENeRF(cas=cas)
-    if "boost_mvsnerf" in module:
+    if name == "boost_mvsnerf":
         from boostmvsnerfs_tpu.models.boost_mvsnerf import BoostMVSNeRF
 
         return BoostMVSNeRF(cfg=_mvsnerf_cfg(cfg))
-    if "mvsnerf" in module:
-        from boostmvsnerfs_tpu.models.mvsnerf import MVSNeRF
-
-        return MVSNeRF(cfg=_mvsnerf_cfg(cfg))
-    if "enerf" in module:
+    if name == "mvsnerf":
+        return _mvsnerf_model(cfg)
+    if name == "enerf":
         return ENeRF(cas=cas)
-    raise ValueError(f"unknown network module: {module}")
+    raise ValueError(f"unknown network module: {cfg['network_module']}")
+
+
+def _mvsnerf_model(cfg):
+    from boostmvsnerfs_tpu.models.mvsnerf import MVSNeRF
+
+    return MVSNeRF(cfg=_mvsnerf_cfg(cfg))
 
 
 def _mvsnerf_cfg(cfg):
@@ -59,8 +63,9 @@ def _mvsnerf_cfg(cfg):
 
 
 def requires_view_selection(cfg) -> bool:
+    name = cfg.get("network_module", "").rsplit(".", 1)[-1]
     return bool(cfg.get("enerf", {}).get("require_view_selection", False)) or \
-        "boost" in cfg.get("network_module", "")
+        name.startswith("boost_")
 
 
 def to_device_batch(np_batch: dict) -> dict:
@@ -105,7 +110,9 @@ def run_view_selection(cfg, model, variables, loaders) -> dict:
     results = {}
     for loader in loaders:
         for np_batch in loader:
-            batch = to_device_batch(np_batch)
+            batch = {
+                k: jnp.asarray(v) for k, v in np_batch.items() if k != "meta"
+            }
             masks = np.asarray(mask_fn(variables, batch, combos_j))
             # (n_combos, B, H, W)
             for b, meta in enumerate(np_batch["meta"]):

@@ -1,0 +1,58 @@
+"""The windowed matmul warp must match the gather-based warp exactly."""
+
+import jax.numpy as jnp
+import numpy as np
+
+from boostmvsnerfs_tpu.ops import cost_volume, geometry
+from tests.helpers import look_at_ext
+
+
+def _setup(rng, Hs=32, Ws=48, Ht=16, Wt=24, D=6):
+    feat = rng.standard_normal((Hs, Ws, 4)).astype(np.float32)
+    tar_ext = look_at_ext(np.array([0.1, 0.05, 3.0]))
+    src_ext = look_at_ext(np.array([0.7, -0.2, 2.8]))
+    ixt_t = np.array(
+        [[Wt * 1.2, 0, Wt / 2], [0, Wt * 1.2, Ht / 2], [0, 0, 1]], np.float32
+    )
+    ixt_s = np.array(
+        [[Ws * 1.2, 0, Ws / 2], [0, Ws * 1.2, Hs / 2], [0, 0, 1]], np.float32
+    )
+    pm = geometry.proj_mats(
+        jnp.asarray(ixt_s)[None, None],
+        jnp.asarray(src_ext)[None, None],
+        jnp.asarray(ixt_t)[None],
+        jnp.asarray(tar_ext)[None],
+        1.0,
+        1.0,
+    )[0, 0]
+    dv = jnp.broadcast_to(
+        jnp.linspace(2.0, 5.0, D)[:, None, None], (D, Ht, Wt)
+    )
+    return jnp.asarray(feat), pm, dv
+
+
+def test_windowed_matches_gather(rng):
+    feat, pm, dv = _setup(rng)
+    want = cost_volume.warp_src_view(feat, pm, dv)
+    got = cost_volume.warp_src_view_windowed(feat, pm, dv, 48, 64)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want), atol=2e-4)
+
+
+def test_windowed_variance_matches(rng):
+    feat, pm, dv = _setup(rng)
+    feats = jnp.stack([feat, feat * 0.5 + 0.1])
+    pms = jnp.stack([pm, pm])
+    want = cost_volume.variance_volume(feats, pms, dv)
+    got = cost_volume.variance_volume_windowed(feats, pms, dv, 48, 64)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want), atol=2e-4)
+
+
+def test_windowed_handles_out_of_image(rng):
+    """Samples projecting outside the source must contribute zeros exactly
+    like grid_sample zeros padding (triangle weights vanish)."""
+    feat, pm, dv = _setup(rng)
+    # shift the projection far off-image for some planes
+    pm_shifted = pm.at[0, 3].add(500.0)
+    want = cost_volume.warp_src_view(feat, pm_shifted, dv)
+    got = cost_volume.warp_src_view_windowed(feat, pm_shifted, dv, 48, 64)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want), atol=2e-4)
