@@ -18,6 +18,16 @@ import jax
 import jax.numpy as jnp
 
 
+def _sync(out):
+    """block_until_ready alone is unreliable on the axon remote backend for
+    freshly compiled executables — force a tiny host transfer per leaf."""
+    import numpy as np
+
+    for leaf in jax.tree_util.tree_leaves(out):
+        np.asarray(jax.device_get(leaf.ravel()[0]))
+    return out
+
+
 def main():
     from boostmvsnerfs_tpu.models.boost_enerf import BoostENeRF
     from boostmvsnerfs_tpu.models.enerf import CascadeConfig
@@ -38,14 +48,12 @@ def main():
 
     fwd = jax.jit(lambda v, b: model.apply(v, b, False))
     # warm-up / compile
-    out = fwd(variables, batch)
-    jax.block_until_ready(out)
+    _sync(fwd(variables, batch))
 
     times = []
     for _ in range(iters):
         t0 = time.perf_counter()
-        out = fwd(variables, batch)
-        jax.block_until_ready(out)
+        _sync(fwd(variables, batch))
         times.append(time.perf_counter() - t0)
 
     n_rays = batch["ray_idx_1"].shape[1]

@@ -58,6 +58,18 @@ class CascadeConfig:
     # boost settings (reference configs/exps/pretrain/enerf_ours/dtu_pretrain.yaml)
     k_best: int = 4
     cost_volume_input_views: int = 3
+    # TPU warp implementation: 'windowed' = MXU interpolation matmuls
+    # (ops/cost_volume.warp_src_view_windowed), 'gather' = XLA gather path.
+    # window height / row tiling are per cascade level; width is always the
+    # full source width (x coverage exact by construction).
+    warp_mode: str = "windowed"
+    warp_window_h: tuple = (48, 32)
+    warp_rows_per_tile: tuple = (4, 1)
+    # render-stage sampling at eval time (full-image raster rays):
+    # 'structured' = gather-free row-band sampling + separable volume
+    # resample; 'gather' = XLA gather path (always used for random train rays)
+    eval_sampling: str = "structured"
+    img_window_h: tuple = (32, 32)
 
     @staticmethod
     def from_cfg(node) -> "CascadeConfig":
@@ -148,9 +160,19 @@ class ENeRF(nn.Module):
             src_scale=cas.im_feat_scale[level],
             tar_scale=cas.volume_scale[level],
         )
-        vol = jax.vmap(cost_volume.variance_volume)(
-            feats[f"level_{level}"], pm, dv
-        )  # (B, D, Hv, Wv, C)
+        if cas.warp_mode == "windowed":
+            vol = jax.vmap(
+                lambda f, p, d: cost_volume.variance_volume_windowed(
+                    f, p, d,
+                    window_h=cas.warp_window_h[level],
+                    window_w=f.shape[2],  # full source width: exact in x
+                    rows_per_tile=cas.warp_rows_per_tile[level],
+                )
+            )(feats[f"level_{level}"], pm, dv)
+        else:
+            vol = jax.vmap(cost_volume.variance_volume)(
+                feats[f"level_{level}"], pm, dv
+            )  # (B, D, Hv, Wv, C)
         feat_vol, logits = self.cost_regs[level](vol, train)
         depth, std = render.depth_regression(logits, dv, inv)
         return feat_vol, depth, std, nf_map
@@ -194,17 +216,29 @@ class ENeRF(nn.Module):
             ray_o, ray_d, bounds, xy, cas.num_samples[level], inv
         )
         N, Ns = world_xyz.shape[1:3]
+        structured = (
+            not train
+            and cas.eval_sampling == "structured"
+            and N == H_r * W_r
+        )
 
         # voxel features: normalize uv to [0,1] over the render frame, then
         # scale to volume pixel coords (reference network.py:37-38 +
         # utils.py:458-460)
-        u = uvd[..., 0] / (W_r - 1) * (Wv - 1)
-        v = uvd[..., 1] / (H_r - 1) * (Hv - 1)
         d = uvd[..., 2] * (D - 1)
-        vox_xyz = jnp.stack([u, v, d], axis=-1).reshape(B, N * Ns, 3)
-        vox_feat = jax.vmap(
-            lambda vol, pts: sampling.grid_sample_3d(vol, pts, "zeros")
-        )(feat_vol, vox_xyz).reshape(B, N, Ns, -1)
+        if structured:
+            # full-raster rays: trilinear factorizes into separable plane
+            # resize + z-lerp (exact; see ops/sampling.plane_resample_z)
+            z = d.reshape(B, H_r, W_r, Ns)
+            vox_feat = jax.vmap(sampling.plane_resample_z)(feat_vol, z)
+            vox_feat = vox_feat.reshape(B, N, Ns, -1)
+        else:
+            u = uvd[..., 0] / (W_r - 1) * (Wv - 1)
+            v = uvd[..., 1] / (H_r - 1) * (Hv - 1)
+            vox_xyz = jnp.stack([u, v, d], axis=-1).reshape(B, N * Ns, 3)
+            vox_feat = jax.vmap(
+                lambda vol, pts: sampling.grid_sample_3d(vol, pts, "zeros")
+            )(feat_vol, vox_xyz).reshape(B, N, Ns, -1)
 
         # per-view image features at render scale
         im_feat = feats[f"level_{cas.render_im_feat_level[level]}"]
@@ -217,7 +251,9 @@ class ENeRF(nn.Module):
         img_feat_rgb = jnp.concatenate([im_feat, rgbs], axis=-1)  # (B,S,H_r,W_r,C+3)
 
         img_feat_rgb_dir = self._gather_view_features(
-            world_xyz, img_feat_rgb, batch, cas.render_scale[level]
+            world_xyz, img_feat_rgb, batch, cas.render_scale[level],
+            window_h=cas.img_window_h[level] if structured else None,
+            raster_hw=(H_r, W_r) if structured else None,
         )  # (B, N, Ns, S, C+3+4)
 
         raw = self.nerf_heads[level](
@@ -241,10 +277,14 @@ class ENeRF(nn.Module):
         return out
 
     def _gather_view_features(
-        self, world_xyz, img_feat_rgb, batch, render_scale: float
+        self, world_xyz, img_feat_rgb, batch, render_scale: float,
+        window_h: int | None = None, raster_hw: tuple | None = None,
     ) -> jnp.ndarray:
         """Project samples into every source view and gather features + RGB +
         ray-difference descriptors (reference lib/networks/enerf/utils.py:753-786).
+
+        With ``raster_hw`` the rays are a full-image raster and sampling uses
+        the gather-free row-band path (ops/sampling.windowed_sample_rows).
         """
         B, N, Ns = world_xyz.shape[:3]
         S = img_feat_rgb.shape[1]
@@ -256,9 +296,18 @@ class ENeRF(nn.Module):
         for s in range(S):
             ixt = geometry.scale_ixt(batch["src_ixts"][:, s], render_scale)
             xy, _ = geometry.project_points(pts, batch["src_exts"][:, s], ixt)
-            feat = jax.vmap(
-                lambda img, c: sampling.grid_sample_2d(img, c, "border")
-            )(img_feat_rgb[:, s], xy)  # (B, N*Ns, C+3)
+            if raster_hw is not None:
+                H_r, W_r = raster_hw
+                tiles = xy.reshape(B, H_r, W_r * Ns, 2)
+                feat = jax.vmap(
+                    lambda img, c: sampling.windowed_sample_rows(
+                        img, c, window_h, "border"
+                    )
+                )(img_feat_rgb[:, s], tiles).reshape(B, N * Ns, -1)
+            else:
+                feat = jax.vmap(
+                    lambda img, c: sampling.grid_sample_2d(img, c, "border")
+                )(img_feat_rgb[:, s], xy)  # (B, N*Ns, C+3)
 
             src_c = geometry.cam_center(batch["src_exts"][:, s])  # (B, 3)
             tar_diff = pts - tar_c[:, None]

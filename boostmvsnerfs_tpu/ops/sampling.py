@@ -185,3 +185,77 @@ def resize_bilinear(img: jnp.ndarray, H_out: int, W_out: int) -> jnp.ndarray:
 def resize_bilinear_2d(x: jnp.ndarray, H_out: int, W_out: int) -> jnp.ndarray:
     """Resize a (..., H, W) map (no channel axis)."""
     return resize_bilinear(x[..., None], H_out, W_out)[..., 0]
+
+
+# ---------------------------------------------------------------------------
+# Structured (gather-free) sampling for smooth coordinate fields.
+# ---------------------------------------------------------------------------
+
+def windowed_sample_rows(
+    img: jnp.ndarray,  # (H, W, C)
+    xy: jnp.ndarray,  # (n_tiles, T, 2) pixel coords; smooth within a tile
+    window_h: int,
+    padding_mode: str = "zeros",
+) -> jnp.ndarray:
+    """Exact bilinear sampling via row-band windows + triangle-weight matmuls.
+
+    For coordinate fields that vary smoothly within each tile (raster-order
+    rays, plane-sweep rows), the y-range per tile is narrow: slice a
+    (window_h, W) band and contract with triangle interpolation weights on
+    the MXU instead of issuing per-sample gathers (the TPU-slow path of
+    torch grid_sample, reference lib/networks/enerf/utils.py:770).
+
+    Exact when each tile's in-image taps fall within its band; ``border``
+    clamps coordinates first (matching grid_sample padding_mode='border').
+    """
+    H, W, C = img.shape
+    n_tiles, T, _ = xy.shape
+    window_h = min(window_h, H)
+    x = xy[..., 0]
+    y = xy[..., 1]
+    if padding_mode == "border":
+        x = jnp.clip(x, 0.0, W - 1)
+        y = jnp.clip(y, 0.0, H - 1)
+
+    y0 = jnp.clip(
+        jnp.floor(jnp.min(y, axis=-1)).astype(jnp.int32) - 1, 0, H - window_h
+    )  # (n_tiles,)
+    jx = jnp.arange(W, dtype=jnp.float32)
+    jy = jnp.arange(window_h, dtype=jnp.float32)
+
+    def tile(args):
+        x_t, y_t, y0_t = args
+        win = jax.lax.dynamic_slice(img, (y0_t, 0, 0), (window_h, W, C))
+        ax = jnp.maximum(0.0, 1.0 - jnp.abs(x_t[:, None] - jx[None, :]))
+        ay = jnp.maximum(
+            0.0, 1.0 - jnp.abs(y_t[:, None] - y0_t - jy[None, :])
+        )
+        tmp = jnp.einsum("tx,yxc->tyc", ax, win,
+                         preferred_element_type=jnp.float32)
+        return jnp.einsum("ty,tyc->tc", ay, tmp)
+
+    return jax.lax.map(tile, (x, y, y0))
+
+
+def plane_resample_z(
+    vol: jnp.ndarray,  # (D, Hv, Wv, C)
+    z: jnp.ndarray,  # (H_out, W_out, S) per-pixel z coords in [0, D-1]
+) -> jnp.ndarray:
+    """Trilinear volume lookup for a full-raster sample grid, gather-free.
+
+    When samples lie exactly on the align-corners resize grid in (y, x) —
+    which holds for full-image rendering where u = x/(W_out-1)*(Wv-1) —
+    trilinear interpolation factorizes into a separable (y, x) resize of each
+    z-plane (two MXU matmuls) followed by a per-pixel lerp along z.
+    Replaces the 3D grid_sample of reference lib/networks/enerf/utils.py:458-460.
+    Returns (H_out, W_out, S, C).
+    """
+    D, Hv, Wv, C = vol.shape
+    H_out, W_out, S = z.shape
+    planes = resize_bilinear(vol, H_out, W_out)  # (D, H_out, W_out, C)
+    planes = jnp.moveaxis(planes, 0, 2)  # (H_out, W_out, D, C)
+    # triangle weights over the (small) z axis: the two bilinear taps fall
+    # out naturally and out-of-range z contributes zeros (= zeros padding)
+    jz = jnp.arange(D, dtype=vol.dtype)
+    az = jnp.maximum(0.0, 1.0 - jnp.abs(z[..., None] - jz))  # (H,W,S,D)
+    return jnp.einsum("hwsd,hwdc->hwsc", az, planes)
