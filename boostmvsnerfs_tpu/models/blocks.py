@@ -24,11 +24,14 @@ class ConvBnReLU(nn.Module):
 
     @nn.compact
     def __call__(self, x: jnp.ndarray, train: bool = False) -> jnp.ndarray:
+        # explicit symmetric k//2 padding: torch Conv semantics (flax 'SAME'
+        # pads asymmetrically for stride 2, shifting taps by one pixel)
+        pad = tuple((k // 2, k // 2) for k in self.kernel_size)
         x = nn.Conv(
             self.features,
             kernel_size=tuple(self.kernel_size),
             strides=tuple(self.strides),
-            padding="SAME",
+            padding=pad,
             use_bias=False,
         )(x)
         x = nn.BatchNorm(
@@ -52,11 +55,15 @@ class DeconvBn(nn.Module):
     @nn.compact
     def __call__(self, x: jnp.ndarray, train: bool = False) -> jnp.ndarray:
         ndim = len(self.kernel_size)
+        # padding (1, 2) + transpose_kernel matches torch
+        # ConvTranspose(k=3, s=2, p=1, output_padding=1) exactly (verified
+        # numerically in tests/test_weight_port.py)
         x = nn.ConvTranspose(
             self.features,
             kernel_size=tuple(self.kernel_size),
             strides=(2,) * ndim,
-            padding="SAME",
+            padding=((1, 2),) * ndim,
+            transpose_kernel=True,
             use_bias=False,
         )(x)
         x = nn.BatchNorm(

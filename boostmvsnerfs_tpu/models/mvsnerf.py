@@ -71,8 +71,9 @@ class ConvBnLeaky(nn.Module):
     @nn.compact
     def __call__(self, x, train: bool = False):
         strides = self.strides or (1,) * len(self.kernel_size)
+        pad = tuple((k // 2, k // 2) for k in self.kernel_size)
         x = nn.Conv(self.features, self.kernel_size, strides,
-                    padding="SAME", use_bias=False)(x)
+                    padding=pad, use_bias=False)(x)
         x = nn.BatchNorm(use_running_average=not train, momentum=0.9,
                          epsilon=1e-5)(x)
         return nn.leaky_relu(x, 0.01)
@@ -84,7 +85,8 @@ class DeconvBnLeaky(nn.Module):
     @nn.compact
     def __call__(self, x, train: bool = False):
         x = nn.ConvTranspose(self.features, (3, 3, 3), strides=(2, 2, 2),
-                             padding="SAME", use_bias=False)(x)
+                             padding=((1, 2),) * 3, transpose_kernel=True,
+                             use_bias=False)(x)
         x = nn.BatchNorm(use_running_average=not train, momentum=0.9,
                          epsilon=1e-5)(x)
         return nn.leaky_relu(x, 0.01)
