@@ -46,7 +46,12 @@ def main():
     batch = {k: jnp.asarray(v) for k, v in np_batch.items()}
     variables = model.init(jax.random.PRNGKey(0), batch, False)
 
-    fwd = jax.jit(lambda v, b: model.apply(v, b, False))
+    if os.environ.get("BENCH_MODE", "staged") == "staged":
+        from boostmvsnerfs_tpu.parallel.staged import StagedENeRF
+
+        fwd = StagedENeRF(model)
+    else:
+        fwd = jax.jit(lambda v, b: model.apply(v, b, False))
     # warm-up / compile
     _sync(fwd(variables, batch))
 

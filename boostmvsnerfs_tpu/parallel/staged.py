@@ -1,0 +1,157 @@
+"""Staged execution: the render pipeline as a few separately-jitted stages.
+
+XLA whole-program optimization scales superlinearly with program size — the
+monolithic 2-level x K-volume forward compiles orders of magnitude slower
+than its stages do individually (and on the axon remote-compile path a huge
+program can block the compile service for everyone). Staged execution jits
+each pipeline stage once (features / per-level volume / per-level render /
+blend); intermediate tensors stay on device, so dispatch overhead is a few
+microseconds per stage while compile time drops from tens of minutes to
+seconds.
+
+The staged path produces the same numerics as the monolithic ``model.apply``
+(same functions, same order) — tests assert equality.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+
+from boostmvsnerfs_tpu.models.boost_enerf import BoostENeRF, _take_views
+from boostmvsnerfs_tpu.models.enerf import ENeRF
+from boostmvsnerfs_tpu.ops import render
+
+
+class StagedENeRF:
+    """Stage-jitted ENeRF / BoostENeRF forward for evaluation."""
+
+    def __init__(self, model: ENeRF):
+        self.model = model
+        self.cas = model.cas
+        self.boost = isinstance(model, BoostENeRF)
+        m = model
+
+        self._features = jax.jit(
+            lambda v, x: m.apply(v, x, False, method=ENeRF.extract_features)
+        )
+
+        def volume_stage(level, v, feats, src_exts, src_ixts, tar_ext,
+                         tar_ixt, near_far, prev):
+            return m.apply(
+                v, level, feats, src_exts, src_ixts, tar_ext, tar_ixt,
+                near_far, prev, False, method=ENeRF.build_level_volume,
+            )
+
+        def render_stage(level, return_raw, v, feats, feat_vol, depth, std,
+                         nf_map, batch, ray_idx):
+            return m.apply(
+                v, level, feats, feat_vol, depth, std, nf_map, batch,
+                ray_idx, False, return_raw, method=ENeRF.render_level,
+            )
+
+        self._volume = {
+            i: jax.jit(partial(volume_stage, i)) for i in range(self.cas.num)
+        }
+        self._render = {
+            (i, raw): jax.jit(partial(render_stage, i, raw))
+            for i in range(self.cas.num)
+            for raw in ((True,) if self.boost else (False,))
+        }
+        if self.boost:
+            self._blend = {
+                i: jax.jit(partial(self._blend_fn, inv=self.cas.depth_inv[i]))
+                for i in range(self.cas.num)
+            }
+
+    @staticmethod
+    def _blend_fn(raws, masks, zs, depth0, std0, *, inv: bool):
+        masks = render.normalize_blend_masks(masks)
+        out = render.composite_blend(raws, masks, zs)
+        out["depth_mvs"] = 1.0 / depth0 if inv else depth0
+        out["std"] = std0
+        return out
+
+    def __call__(self, variables, batch: dict) -> dict:
+        if self.boost:
+            return self._forward_boost(variables, batch)
+        return self._forward_base(variables, batch)
+
+    def _forward_base(self, variables, batch):
+        cas = self.cas
+        feats = self._features(variables, batch["src_inps"])
+        ret = {}
+        prev = None
+        for i in range(cas.num):
+            feat_vol, depth, std, nf_map = self._volume[i](
+                variables, feats, batch["src_exts"], batch["src_ixts"],
+                batch["tar_ext"], batch["tar_ixt"], batch["near_far"], prev,
+            )
+            prev = (depth, std, nf_map)
+            if not cas.render_if[i]:
+                continue
+            out = self._render[(i, False)](
+                variables, feats, feat_vol, depth, std, nf_map,
+                _render_batch(batch), batch[f"ray_idx_{i}"],
+            )
+            ret.update({f"{k}_level{i}": v for k, v in out.items()})
+        return ret
+
+    def _forward_boost(self, variables, batch):
+        cas = self.cas
+        K = cas.k_best
+        B = batch["all_src_inps"].shape[0]
+        sel = jnp.take(batch["combos"], batch["k_best"], axis=0)
+        I = sel.shape[-1]
+
+        feats_all = self._features(variables, batch["all_src_inps"])
+
+        def fold(x):
+            g = _take_views(x, sel.reshape(B, K * I))
+            return g.reshape(B * K, I, *x.shape[2:])
+
+        def rep(x):
+            return jnp.repeat(x, K, axis=0)
+
+        sub = {
+            "src_inps": fold(batch["all_src_inps"]),
+            "src_exts": fold(batch["all_src_exts"]),
+            "src_ixts": fold(batch["all_src_ixts"]),
+            "tar_ext": rep(batch["tar_ext"]),
+            "tar_ixt": rep(batch["tar_ixt"]),
+            "near_far": rep(batch["near_far"]),
+        }
+        feats = {lvl: fold(f) for lvl, f in feats_all.items()}
+
+        ret = {}
+        prev = None
+        for i in range(cas.num):
+            feat_vol, depth, std, nf_map = self._volume[i](
+                variables, feats, sub["src_exts"], sub["src_ixts"],
+                sub["tar_ext"], sub["tar_ixt"], sub["near_far"], prev,
+            )
+            prev = (depth, std, nf_map)
+            if not cas.render_if[i]:
+                continue
+            raw_out = self._render[(i, True)](
+                variables, feats, feat_vol, depth, std, nf_map,
+                _render_batch(sub), rep(batch[f"ray_idx_{i}"]),
+            )
+            raws = raw_out["net_output"].reshape(
+                B, K, *raw_out["net_output"].shape[1:]
+            )
+            masks = raw_out["mask"].reshape(B, K, *raw_out["mask"].shape[1:])
+            zs = raw_out["z_vals"].reshape(B, K, *raw_out["z_vals"].shape[1:])
+            depth0 = depth.reshape(B, K, *depth.shape[1:])[:, 0]
+            std0 = std.reshape(B, K, *std.shape[1:])[:, 0]
+            out = self._blend[i](raws, masks, zs, depth0, std0)
+            ret.update({f"{k}_level{i}": v for k, v in out.items()})
+        return ret
+
+
+def _render_batch(batch: dict) -> dict:
+    """The subset of batch keys render_level reads (hashable-stable)."""
+    keys = ["src_inps", "src_exts", "src_ixts", "tar_ext", "tar_ixt"]
+    return {k: batch[k] for k in keys}

@@ -15,24 +15,24 @@ def normalize(v):
 
 
 def look_at(eye, target, up=np.array([0.0, 1.0, 0.0])):
-    """c2w matrix with camera at ``eye`` looking at ``target``."""
+    """OpenCV-convention c2w (x right, y down, z forward; det=+1)."""
     fwd = normalize(target - eye)
     right = normalize(np.cross(fwd, up))
-    up2 = np.cross(right, fwd)
+    down = np.cross(fwd, right)
     c2w = np.eye(4)
-    c2w[:3, 0], c2w[:3, 1], c2w[:3, 2], c2w[:3, 3] = right, up2, fwd, eye
+    c2w[:3, 0], c2w[:3, 1], c2w[:3, 2], c2w[:3, 3] = right, down, fwd, eye
     return c2w
 
 
 def average_pose(c2ws: np.ndarray) -> np.ndarray:
-    """Mean camera pose of a trajectory (LLFF-style)."""
+    """Mean camera pose of a trajectory (LLFF-style, OpenCV axes)."""
     center = c2ws[:, :3, 3].mean(0)
     fwd = normalize(c2ws[:, :3, 2].sum(0))
-    up = normalize(c2ws[:, :3, 1].sum(0))
-    right = normalize(np.cross(up, fwd))
-    up2 = np.cross(fwd, right)
+    down = normalize(c2ws[:, :3, 1].sum(0))
+    right = normalize(np.cross(down, fwd))
+    down2 = np.cross(fwd, right)
     c2w = np.eye(4)
-    c2w[:3, 0], c2w[:3, 1], c2w[:3, 2], c2w[:3, 3] = right, up2, fwd, center
+    c2w[:3, 0], c2w[:3, 1], c2w[:3, 2], c2w[:3, 3] = right, down2, fwd, center
     return c2w
 
 
@@ -59,7 +59,7 @@ def spiral_path(
         )
         eye = avg[:3, 3] + avg[:3, :3] @ offset
         target = avg[:3, 3] + avg[:3, 2] * focus_depth
-        out.append(look_at(eye, target, up=avg[:3, 1]))
+        out.append(look_at(eye, target, up=-avg[:3, 1]))
     return np.stack(out)
 
 

@@ -4,12 +4,13 @@ import numpy as np
 
 
 def look_at_ext(center, target=np.zeros(3), up=np.array([0.0, 1.0, 0.0])):
+    """OpenCV-convention w2c: camera x right, y down, z forward (det=+1)."""
     fwd = target - center
     fwd = fwd / np.linalg.norm(fwd)
     right = np.cross(fwd, up)
     right /= np.linalg.norm(right)
-    up2 = np.cross(right, fwd)
-    R = np.stack([right, up2, fwd], axis=0)
+    down = np.cross(fwd, right)
+    R = np.stack([right, down, fwd], axis=0)
     t = -R @ center
     ext = np.eye(4, dtype=np.float32)
     ext[:3, :3], ext[:3, 3] = R, t
