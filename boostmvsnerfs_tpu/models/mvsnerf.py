@@ -258,9 +258,18 @@ class MVSNeRF(nn.Module):
             ]  # (B, D, hp, wp, 3)
             xy = src[..., :2] / src[..., 2:3]
 
+            from boostmvsnerfs_tpu.ops.cost_volume import (
+                windowed_warp_from_coords,
+            )
+
             def samp(img, coords):
-                return sampling.grid_sample_2d(
-                    img, coords.reshape(-1, 2), "zeros"
+                # windowed MXU warp (row tiles of the padded target grid)
+                return windowed_warp_from_coords(
+                    img,
+                    coords[..., 0].reshape(D, hp, wp),
+                    coords[..., 1].reshape(D, hp, wp),
+                    window_h=32,
+                    window_w=img.shape[1],
                 ).reshape(D, hp, wp, -1)
 
             wf = jax.vmap(samp)(feats[:, v], xy)

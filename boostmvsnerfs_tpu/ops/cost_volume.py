@@ -150,9 +150,6 @@ def warp_src_view_windowed(
     gather lowering at the fine cascade level on TPU v5e.
     """
     D, Ht, Wt = depth_values.shape
-    Hs, Ws, C = src_feat.shape
-    window_h = min(window_h, Hs)
-    window_w = min(window_w, Ws)
     R_tile = rows_per_tile
     while Ht % R_tile:
         R_tile -= 1
@@ -160,10 +157,32 @@ def warp_src_view_windowed(
     T = R_tile * Wt  # samples per tile
 
     x, y = _warp_coords(src_feat.shape, proj_mat, depth_values)
-    x = x.reshape(D, n_tiles, T)
-    y = y.reshape(D, n_tiles, T)
+    out = windowed_warp_from_coords(
+        src_feat,
+        x.reshape(D, n_tiles, T),
+        y.reshape(D, n_tiles, T),
+        window_h,
+        window_w,
+    )
+    return out.reshape(D, Ht, Wt, src_feat.shape[-1])
 
-    x0 = _window_origin(jnp.min(x, axis=-1), window_w, Ws)  # (D, n_tiles)
+
+def windowed_warp_from_coords(
+    src_feat: jnp.ndarray,  # (Hs, Ws, C)
+    x: jnp.ndarray,  # (n_outer, n_tiles, T) source x coords per tile
+    y: jnp.ndarray,  # (n_outer, n_tiles, T)
+    window_h: int,
+    window_w: int,
+) -> jnp.ndarray:
+    """Core of the windowed warp: bilinear sampling with zeros padding as
+    dynamic-sliced windows + triangle-weight contractions. Returns
+    (n_outer, n_tiles, T, C); the outer axis runs sequentially to bound
+    live window memory, tiles vectorize into batched MXU matmuls."""
+    Hs, Ws, C = src_feat.shape
+    window_h = min(window_h, Hs)
+    window_w = min(window_w, Ws)
+
+    x0 = _window_origin(jnp.min(x, axis=-1), window_w, Ws)
     y0 = _window_origin(jnp.min(y, axis=-1), window_h, Hs)
 
     jx = jnp.arange(window_w, dtype=jnp.float32)
@@ -185,13 +204,10 @@ def warp_src_view_windowed(
         )
         return jnp.einsum("ty,tyc->tc", ay, tmp)
 
-    # tiles within a plane vectorize (batched MXU matmuls); planes run under
-    # a sequential map to bound live window memory.
     def plane_warp(args):
         return jax.vmap(tile_warp)(args)
 
-    out = jax.lax.map(plane_warp, (x, y, x0, y0))  # (D, n_tiles, T, C)
-    return out.reshape(D, Ht, Wt, C)
+    return jax.lax.map(plane_warp, (x, y, x0, y0))
 
 
 def _warp_coords(src_shape, proj_mat, depth_values):

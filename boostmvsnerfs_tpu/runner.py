@@ -179,7 +179,7 @@ def run_evaluate(cfg, model=None, variables=None):
         save_result=bool(cfg.get("save_result", False)),
         result_dir=cfg.get("result_dir"),
     )
-    fwd = jax.jit(lambda v, b: model.apply(v, b, False))
+    fwd = make_forward(cfg, model)
 
     net_times = []
     for np_batch in loader:
@@ -197,6 +197,18 @@ def run_evaluate(cfg, model=None, variables=None):
         print(f"FPS: {fps:.3f}")
         ret["fps"] = fps
     return ret
+
+
+def make_forward(cfg, model):
+    """Inference callable: staged per-stage jits for ENeRF-family models
+    (fast compiles at full resolution), monolithic jit otherwise."""
+    from boostmvsnerfs_tpu.models.enerf import ENeRF as _ENeRF
+
+    if cfg.get("execution", "staged") == "staged" and isinstance(model, _ENeRF):
+        from boostmvsnerfs_tpu.parallel.staged import StagedENeRF
+
+        return StagedENeRF(model)
+    return jax.jit(lambda v, b: model.apply(v, b, False))
 
 
 def _lpips_available(cfg) -> bool:
