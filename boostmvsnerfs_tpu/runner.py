@@ -322,6 +322,7 @@ def run_train(cfg):
     step_fn = make_train_step(model, tx)
     epochs = int(cfg["train"]["epoch"])
     log_interval = int(cfg.get("log_interval", 20))
+    eval_ep = int(cfg.get("eval_ep", 0))
     for epoch in range(begin_epoch, epochs):
         loader.set_epoch(epoch)
         t_ep = time.time()
@@ -341,5 +342,18 @@ def run_train(cfg):
             latest_ep = int(cfg.get("save_latest_ep", 1))
             if (epoch + 1) % save_ep == 0 or (epoch + 1) % latest_ep == 0:
                 mgr.save(state, epoch, latest=True)
+            # in-training validation (reference trainer.val, train_net.py:67-68)
+            if eval_ep > 0 and (epoch + 1) % eval_ep == 0 and not cfg.get(
+                "skip_eval", False
+            ):
+                try:
+                    variables = {"params": state.params,
+                                 "batch_stats": state.batch_stats}
+                    ret = run_evaluate(cfg, model=model, variables=variables)
+                    recorder.update({f"val_{k}": v for k, v in ret.items()
+                                     if np.isscalar(v)})
+                    recorder.record("val")
+                except Exception as e:  # validation must not kill training
+                    print(f"validation failed: {e}", flush=True)
         print(f"epoch {epoch} done in {time.time()-t_ep:.1f}s", flush=True)
     return state

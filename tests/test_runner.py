@@ -69,6 +69,7 @@ def _write_cfg(path, workspace, boost=False):
         "ep_iter": 2,
         "save_ep": 1,
         "save_latest_ep": 1,
+        "eval_ep": 0,
         "log_interval": 1,
     }
     with open(path, "w") as f:
