@@ -181,12 +181,26 @@ def run_evaluate(cfg, model=None, variables=None):
     )
     fwd = make_forward(cfg, model)
 
+    mesh = None
+    mesh_cfg = cfg.get("mesh", {})
+    n_rays_axis = int(mesh_cfg.get("rays", 1)) if mesh_cfg else 1
+    if n_rays_axis > 1:
+        from boostmvsnerfs_tpu.parallel import mesh as mesh_lib
+
+        mesh = mesh_lib.make_mesh(
+            n_data=int(mesh_cfg.get("data", 1)), n_rays=n_rays_axis
+        )
+
     net_times = []
     for np_batch in loader:
         if boost:
             np_batch = attach_boost_inputs(np_batch, vs, cfg)
         batch = to_device_batch(np_batch)
         dev_batch = {k: v for k, v in batch.items() if k != "meta"}
+        if mesh is not None:
+            from boostmvsnerfs_tpu.parallel.mesh import shard_batch
+
+            dev_batch = shard_batch(mesh, dev_batch)
         t0 = time.perf_counter()
         out = host_sync(fwd(variables, dev_batch))
         net_times.append(time.perf_counter() - t0)
