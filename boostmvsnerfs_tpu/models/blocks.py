@@ -15,12 +15,18 @@ import jax.numpy as jnp
 
 
 class ConvBnReLU(nn.Module):
-    """Conv(bias-free) + BatchNorm + ReLU, for 2D or 3D (rank of kernel_size)."""
+    """Conv(bias-free) + BatchNorm + ReLU, for 2D or 3D (rank of kernel_size).
+
+    ``dtype`` is the computation dtype (bfloat16 = the TPU AMP equivalent of
+    the reference's autocast trainer, lib/train/trainers/trainer_amp.py);
+    parameters and BN statistics stay float32.
+    """
 
     features: int
     kernel_size: Sequence[int] = (3, 3)
     strides: Sequence[int] = (1, 1)
     bn_axis_name: str | None = None
+    dtype: jnp.dtype | None = None
 
     @nn.compact
     def __call__(self, x: jnp.ndarray, train: bool = False) -> jnp.ndarray:
@@ -33,12 +39,14 @@ class ConvBnReLU(nn.Module):
             strides=tuple(self.strides),
             padding=pad,
             use_bias=False,
+            dtype=self.dtype,
         )(x)
         x = nn.BatchNorm(
             use_running_average=not train,
             momentum=0.9,
             epsilon=1e-5,
             axis_name=self.bn_axis_name if train else None,
+            dtype=self.dtype,
         )(x)
         return nn.relu(x)
 
@@ -51,6 +59,7 @@ class DeconvBn(nn.Module):
     features: int
     kernel_size: Sequence[int] = (3, 3, 3)
     bn_axis_name: str | None = None
+    dtype: jnp.dtype | None = None
 
     @nn.compact
     def __call__(self, x: jnp.ndarray, train: bool = False) -> jnp.ndarray:
@@ -65,12 +74,14 @@ class DeconvBn(nn.Module):
             padding=((1, 2),) * ndim,
             transpose_kernel=True,
             use_bias=False,
+            dtype=self.dtype,
         )(x)
         x = nn.BatchNorm(
             use_running_average=not train,
             momentum=0.9,
             epsilon=1e-5,
             axis_name=self.bn_axis_name if train else None,
+            dtype=self.dtype,
         )(x)
         return x
 

@@ -16,43 +16,47 @@ from boostmvsnerfs_tpu.models.blocks import ConvBnReLU, DeconvBn
 
 class CostRegNet(nn.Module):
     bn_axis_name: str | None = None
+    dtype: jnp.dtype | None = None
 
     @nn.compact
     def __call__(self, x: jnp.ndarray, train: bool = False):
         """x: (B, D, H, W, C) -> (feat (B,D,H,W,8), depth logits (B,D,H,W))."""
         bn = self.bn_axis_name
+        dt = self.dtype
         k, s2 = (3, 3, 3), (2, 2, 2)
-        conv0 = ConvBnReLU(8, k, (1, 1, 1), bn)(x, train)
-        conv2 = ConvBnReLU(16, k, s2, bn)(conv0, train)
-        conv2 = ConvBnReLU(16, k, (1, 1, 1), bn)(conv2, train)
-        conv4 = ConvBnReLU(32, k, s2, bn)(conv2, train)
-        conv4 = ConvBnReLU(32, k, (1, 1, 1), bn)(conv4, train)
-        deep = ConvBnReLU(64, k, s2, bn)(conv4, train)
-        deep = ConvBnReLU(64, k, (1, 1, 1), bn)(deep, train)
-        up = conv4 + DeconvBn(32, k, bn)(deep, train)
-        up = conv2 + DeconvBn(16, k, bn)(up, train)
-        up = conv0 + DeconvBn(8, k, bn)(up, train)
-        feat = nn.Conv(8, k, padding="SAME", use_bias=False, name="feat_conv")(up)
-        depth = nn.Conv(1, k, padding="SAME", use_bias=False, name="depth_conv")(up)
-        return feat, depth[..., 0]
+        conv0 = ConvBnReLU(8, k, (1, 1, 1), bn, dt)(x, train)
+        conv2 = ConvBnReLU(16, k, s2, bn, dt)(conv0, train)
+        conv2 = ConvBnReLU(16, k, (1, 1, 1), bn, dt)(conv2, train)
+        conv4 = ConvBnReLU(32, k, s2, bn, dt)(conv2, train)
+        conv4 = ConvBnReLU(32, k, (1, 1, 1), bn, dt)(conv4, train)
+        deep = ConvBnReLU(64, k, s2, bn, dt)(conv4, train)
+        deep = ConvBnReLU(64, k, (1, 1, 1), bn, dt)(deep, train)
+        up = conv4 + DeconvBn(32, k, bn, dt)(deep, train)
+        up = conv2 + DeconvBn(16, k, bn, dt)(up, train)
+        up = conv0 + DeconvBn(8, k, bn, dt)(up, train)
+        feat = nn.Conv(8, k, padding="SAME", use_bias=False, dtype=dt, name="feat_conv")(up)
+        depth = nn.Conv(1, k, padding="SAME", use_bias=False, dtype=dt, name="depth_conv")(up)
+        return feat.astype(jnp.float32), depth[..., 0].astype(jnp.float32)
 
 
 class MinCostRegNet(nn.Module):
     bn_axis_name: str | None = None
+    dtype: jnp.dtype | None = None
 
     @nn.compact
     def __call__(self, x: jnp.ndarray, train: bool = False):
         """2-level variant for the coarse cascade level
         (reference lib/networks/enerf/cost_reg_net.py:51-86)."""
         bn = self.bn_axis_name
+        dt = self.dtype
         k, s2 = (3, 3, 3), (2, 2, 2)
-        conv0 = ConvBnReLU(8, k, (1, 1, 1), bn)(x, train)
-        conv2 = ConvBnReLU(16, k, s2, bn)(conv0, train)
-        conv2 = ConvBnReLU(16, k, (1, 1, 1), bn)(conv2, train)
-        conv4 = ConvBnReLU(32, k, s2, bn)(conv2, train)
-        conv4 = ConvBnReLU(32, k, (1, 1, 1), bn)(conv4, train)
-        up = conv2 + DeconvBn(16, k, bn)(conv4, train)
-        up = conv0 + DeconvBn(8, k, bn)(up, train)
-        feat = nn.Conv(8, k, padding="SAME", use_bias=False, name="feat_conv")(up)
-        depth = nn.Conv(1, k, padding="SAME", use_bias=False, name="depth_conv")(up)
-        return feat, depth[..., 0]
+        conv0 = ConvBnReLU(8, k, (1, 1, 1), bn, dt)(x, train)
+        conv2 = ConvBnReLU(16, k, s2, bn, dt)(conv0, train)
+        conv2 = ConvBnReLU(16, k, (1, 1, 1), bn, dt)(conv2, train)
+        conv4 = ConvBnReLU(32, k, s2, bn, dt)(conv2, train)
+        conv4 = ConvBnReLU(32, k, (1, 1, 1), bn, dt)(conv4, train)
+        up = conv2 + DeconvBn(16, k, bn, dt)(conv4, train)
+        up = conv0 + DeconvBn(8, k, bn, dt)(up, train)
+        feat = nn.Conv(8, k, padding="SAME", use_bias=False, dtype=dt, name="feat_conv")(up)
+        depth = nn.Conv(1, k, padding="SAME", use_bias=False, dtype=dt, name="depth_conv")(up)
+        return feat.astype(jnp.float32), depth[..., 0].astype(jnp.float32)

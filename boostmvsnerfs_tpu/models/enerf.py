@@ -70,6 +70,9 @@ class CascadeConfig:
     # resample; 'gather' = XLA gather path (always used for random train rays)
     eval_sampling: str = "structured"
     img_window_h: tuple = (32, 32)
+    # conv computation dtype ('bfloat16' = the TPU AMP equivalent of the
+    # reference autocast trainer); params/BN stats stay float32
+    conv_dtype: str = "float32"
 
     @staticmethod
     def from_cfg(node) -> "CascadeConfig":
@@ -91,14 +94,17 @@ class ENeRF(nn.Module):
     bn_axis_name: str | None = None
 
     def setup(self):
-        self.feature_net = FeatureNet(self.bn_axis_name)
+        dt = None if self.cas.conv_dtype == "float32" else jnp.dtype(
+            self.cas.conv_dtype
+        )
+        self.feature_net = FeatureNet(self.bn_axis_name, dt)
         cost_regs = []
         nerf_heads = []
         for i in range(self.cas.num):
             cost_regs.append(
-                MinCostRegNet(self.bn_axis_name)
+                MinCostRegNet(self.bn_axis_name, dt)
                 if i == 0
-                else CostRegNet(self.bn_axis_name)
+                else CostRegNet(self.bn_axis_name, dt)
             )
             nerf_heads.append(
                 NeRFHead(

@@ -16,6 +16,7 @@ from boostmvsnerfs_tpu.ops.sampling import resize_bilinear
 
 class FeatureNet(nn.Module):
     bn_axis_name: str | None = None
+    dtype: jnp.dtype | None = None
 
     @nn.compact
     def __call__(self, x: jnp.ndarray, train: bool = False) -> dict:
@@ -26,21 +27,23 @@ class FeatureNet(nn.Module):
         lib/networks/enerf/network.py:62-66): level_0 is the coarsest.
         """
         bn = self.bn_axis_name
-        conv0 = ConvBnReLU(8, (3, 3), (1, 1), bn)(x, train)
-        conv0 = ConvBnReLU(8, (3, 3), (1, 1), bn)(conv0, train)
-        conv1 = ConvBnReLU(16, (5, 5), (2, 2), bn)(conv0, train)
-        conv1 = ConvBnReLU(16, (3, 3), (1, 1), bn)(conv1, train)
-        conv2 = ConvBnReLU(32, (5, 5), (2, 2), bn)(conv1, train)
-        conv2 = ConvBnReLU(32, (3, 3), (1, 1), bn)(conv2, train)
+        dt = self.dtype
+        conv0 = ConvBnReLU(8, (3, 3), (1, 1), bn, dt)(x, train)
+        conv0 = ConvBnReLU(8, (3, 3), (1, 1), bn, dt)(conv0, train)
+        conv1 = ConvBnReLU(16, (5, 5), (2, 2), bn, dt)(conv0, train)
+        conv1 = ConvBnReLU(16, (3, 3), (1, 1), bn, dt)(conv1, train)
+        conv2 = ConvBnReLU(32, (5, 5), (2, 2), bn, dt)(conv1, train)
+        conv2 = ConvBnReLU(32, (3, 3), (1, 1), bn, dt)(conv2, train)
 
-        feat2 = nn.Conv(32, (1, 1), name="toplayer")(conv2)  # 1/4
-        lat1 = nn.Conv(32, (1, 1), name="lat1")(conv1)
-        lat0 = nn.Conv(32, (1, 1), name="lat0")(conv0)
+        feat2 = nn.Conv(32, (1, 1), dtype=dt, name="toplayer")(conv2)  # 1/4
+        lat1 = nn.Conv(32, (1, 1), dtype=dt, name="lat1")(conv1)
+        lat0 = nn.Conv(32, (1, 1), dtype=dt, name="lat0")(conv0)
 
         h1, w1 = conv1.shape[-3], conv1.shape[-2]
         h0, w0 = conv0.shape[-3], conv0.shape[-2]
         feat1 = resize_bilinear(feat2, h1, w1) + lat1
         feat0 = resize_bilinear(feat1, h0, w0) + lat0
-        feat1 = nn.Conv(16, (3, 3), padding="SAME", name="smooth1")(feat1)
-        feat0 = nn.Conv(8, (3, 3), padding="SAME", name="smooth0")(feat0)
-        return {"level_0": feat2, "level_1": feat1, "level_2": feat0}
+        feat1 = nn.Conv(16, (3, 3), padding="SAME", dtype=dt, name="smooth1")(feat1)
+        feat0 = nn.Conv(8, (3, 3), padding="SAME", dtype=dt, name="smooth0")(feat0)
+        f32 = lambda v: v.astype(jnp.float32)
+        return {"level_0": f32(feat2), "level_1": f32(feat1), "level_2": f32(feat0)}
