@@ -130,7 +130,11 @@ class MultiViewDataset:
             sample[f"msk_{i}"] = msk_i.reshape(-1)[idx]
             sample["meta"][f"h_{i}"] = H_r
             sample["meta"][f"w_{i}"] = W_r
+        self.add_extra_fields(info, tar_view, sample)
         return sample
+
+    def add_extra_fields(self, scene_info, tar_view, sample):
+        """Dataset-specific extras (e.g. DTU ground-truth depth for eval)."""
 
     def jitter_src_views(self, src_views, input_views_num, rng):
         """Train-time source-view subsampling; default: truncate to the

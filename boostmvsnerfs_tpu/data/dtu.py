@@ -127,3 +127,9 @@ class DTUDataset(MultiViewDataset):
         dpt = read_pfm(info["dpt_paths"][view_idx])[0].astype(np.float32)
         dpt = resize_area(dpt, dpt.shape[0] // 2, dpt.shape[1] // 2)
         return dpt[44:556, 80:720]
+
+    def add_extra_fields(self, info, tar_view, sample):
+        if self.split != "train" and os.path.exists(
+            info["dpt_paths"][tar_view]
+        ):
+            sample["tar_dpt"] = self.read_depth(info, tar_view)
