@@ -155,7 +155,14 @@ def run_evaluate(cfg, model=None, variables=None):
     cas = CascadeConfig.from_cfg(cfg["enerf"])
     model = model or make_network(cfg)
     dataset = make_dataset(cfg, "test")
-    loader = Loader(dataset, batch_size=int(cfg["test"]["batch_size"]))
+    # multi-host eval shards target views across processes (the reference's
+    # DistributedSampler semantics, lib/datasets/samplers.py:103-159)
+    loader = Loader(
+        dataset,
+        batch_size=int(cfg["test"]["batch_size"]),
+        num_processes=jax.process_count(),
+        process_index=jax.process_index(),
+    )
 
     boost = requires_view_selection(cfg)
     vs = None

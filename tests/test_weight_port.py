@@ -194,3 +194,69 @@ def test_nerf_head_parity(rng_mod):
     out = head.apply({"params": params["head"]}, jnp.asarray(vox),
                      jnp.asarray(ifrd))
     np.testing.assert_allclose(np.asarray(out), want, atol=1e-5, rtol=1e-4)
+
+
+class TorchCostReg(nn.Module):
+    """Full 3-down/3-up cost regularizer oracle (level >= 1)."""
+
+    def __init__(self, cin):
+        super().__init__()
+        cbr = lambda i, o, s=1: TorchCBR(i, o, 3, s, 1, nn.Conv3d, nn.BatchNorm3d)
+        self.conv0 = cbr(cin, 8)
+        self.conv1 = cbr(8, 16, 2)
+        self.conv2 = cbr(16, 16)
+        self.conv3 = cbr(16, 32, 2)
+        self.conv4 = cbr(32, 32)
+        self.conv5 = cbr(32, 64, 2)
+        self.conv6 = cbr(64, 64)
+        mk_up = lambda i, o: nn.Sequential(
+            nn.ConvTranspose3d(i, o, 3, padding=1, output_padding=1, stride=2,
+                               bias=False), nn.BatchNorm3d(o))
+        self.conv7 = mk_up(64, 32)
+        self.conv9 = mk_up(32, 16)
+        self.conv11 = mk_up(16, 8)
+        self.depth_conv = nn.Sequential(nn.Conv3d(8, 1, 3, padding=1, bias=False))
+        self.feat_conv = nn.Sequential(nn.Conv3d(8, 8, 3, padding=1, bias=False))
+
+
+def test_full_enerf_port_structure():
+    """Ported full-checkpoint tree must exactly match ENeRF.init's tree."""
+    import jax
+    from boostmvsnerfs_tpu.models.enerf import CascadeConfig, ENeRF
+    from tests.helpers import make_batch
+
+    sd = {}
+    sd.update({f"feature_net.{k}": v for k, v in
+               TorchFeatureNet().state_dict().items()})
+    sd.update({f"cost_reg_0.{k}": v for k, v in
+               TorchMinCostReg(32).state_dict().items()})
+    sd.update({f"cost_reg_1.{k}": v for k, v in
+               TorchCostReg(16).state_dict().items()})
+    sd.update({f"nerf_0.{k}": v for k, v in
+               TorchNeRFHead(35).state_dict().items()})
+    sd.update({f"nerf_1.{k}": v for k, v in
+               TorchNeRFHead(11).state_dict().items()})
+    ported = pw.port_enerf(sd, num_levels=2)
+
+    rng = np.random.default_rng(0)
+    batch = {k: jnp.asarray(v) for k, v in
+             make_batch(rng, full_image=False, num_rays=(16, 16)).items()}
+    model = ENeRF(cas=CascadeConfig(volume_planes=(16, 8)))
+    variables = model.init(jax.random.PRNGKey(0), batch, False)
+
+    want_p = jax.tree_util.tree_structure(variables["params"])
+    got_p = jax.tree_util.tree_structure(ported["params"])
+    assert want_p == got_p, f"params structure mismatch:\n{want_p}\nvs\n{got_p}"
+    want_s = jax.tree_util.tree_structure(variables["batch_stats"])
+    got_s = jax.tree_util.tree_structure(ported["batch_stats"])
+    assert want_s == got_s
+    # shapes too
+    for (kp, a), (_, b) in zip(
+        jax.tree_util.tree_leaves_with_path(variables["params"]),
+        jax.tree_util.tree_leaves_with_path(ported["params"]),
+    ):
+        assert a.shape == b.shape, (kp, a.shape, b.shape)
+
+    # ported weights drive a full forward without shape errors
+    out = model.apply(ported, batch, False)
+    assert np.isfinite(np.asarray(out["rgb_level1"])).all()
