@@ -44,7 +44,11 @@ def main():
         B=1, n_views=n_views, H=H, W=W, boost=True, k_best=k_best, seed=0
     )
     batch = {k: jnp.asarray(v) for k, v in np_batch.items()}
-    variables = model.init(jax.random.PRNGKey(0), batch, False)
+    # init on CPU with a tiny batch — a full-res model.init would compile
+    # the monolithic forward (utils/init_utils.py)
+    from boostmvsnerfs_tpu.utils.init_utils import init_variables
+
+    variables = jax.device_put(init_variables(model, np_batch))
 
     if os.environ.get("BENCH_MODE", "staged") == "staged":
         from boostmvsnerfs_tpu.parallel.staged import StagedENeRF

@@ -32,10 +32,12 @@ class TrainState:
 
 
 def create_train_state(
-    model, tx: optax.GradientTransformation, init_batch: dict, rng=None
+    model, tx: optax.GradientTransformation, init_batch: dict, rng=None,
+    variables=None,
 ) -> TrainState:
-    rng = rng if rng is not None else jax.random.PRNGKey(0)
-    variables = model.init(rng, init_batch, False)
+    if variables is None:
+        rng = rng if rng is not None else jax.random.PRNGKey(0)
+        variables = model.init(rng, init_batch, False)
     params = variables["params"]
     batch_stats = variables.get("batch_stats", {})
     return TrainState(

@@ -250,8 +250,10 @@ def _load_lpips(cfg):
 
 
 def _init_or_load(cfg, model, dataset, boost):
-    """Initialize params and restore trained weights if available."""
+    """Initialize params (cheaply, on CPU at tiny spatial size — see
+    utils/init_utils.py) and restore trained weights if available."""
     from boostmvsnerfs_tpu.train.checkpoint import CheckpointManager
+    from boostmvsnerfs_tpu.utils.init_utils import init_variables
 
     np_batch = Loader(dataset, batch_size=1).__iter__().__next__()
     if boost:
@@ -260,8 +262,8 @@ def _init_or_load(cfg, model, dataset, boost):
         np_batch["combos"] = view_combinations(n_views, n_input)
         k = int(cfg["enerf"]["cas_config"]["k_best"])
         np_batch["k_best"] = np.zeros((1, k), np.int32)
-    batch = {k: jnp.asarray(v) for k, v in np_batch.items() if k != "meta"}
-    variables = model.init(jax.random.PRNGKey(0), batch, False)
+    np_batch = {k: v for k, v in np_batch.items() if k != "meta"}
+    variables = init_variables(model, np_batch)
     mgr = CheckpointManager(cfg["trained_model_dir"])
     restored = mgr.restore(variables)
     if restored is not None:
@@ -318,8 +320,12 @@ def run_train(cfg):
     first = next(iter(Loader(train_ds, batch_size=int(cfg["train"]["batch_size"]))))
     if boost:
         first = attach_boost_inputs(first, vs, cfg)
-    init_batch = {k: jnp.asarray(v) for k, v in first.items() if k != "meta"}
-    state = create_train_state(model, tx, init_batch)
+    init_batch = {k: v for k, v in first.items() if k != "meta"}
+    from boostmvsnerfs_tpu.utils.init_utils import init_variables
+
+    state = create_train_state(
+        model, tx, None, variables=init_variables(model, init_batch)
+    )
 
     mgr = CheckpointManager(cfg["trained_model_dir"])
     recorder = Recorder(cfg.get("record_dir"), enabled=jax.process_index() == 0)

@@ -46,7 +46,9 @@ def main():
     np_batch = make_scene_batch(B=1, n_views=6, H=H, W=W, boost=True,
                                 k_best=K, seed=0)
     batch = {k: jnp.asarray(v) for k, v in np_batch.items()}
-    variables = model.init(jax.random.PRNGKey(0), batch, False)
+    from boostmvsnerfs_tpu.utils.init_utils import init_variables
+
+    variables = jax.device_put(init_variables(model, np_batch))
     staged = StagedENeRF(model)
 
     B = 1
