@@ -121,3 +121,57 @@ def test_train_smoke(workspace, tmp_path):
 
     mgr = CheckpointManager(cfg.trained_model_dir)
     assert mgr.latest_path() is not None
+
+
+def test_evaluate_mvsnerf(workspace, tmp_path):
+    import yaml as _yaml
+
+    cfg_path = str(tmp_path / "cfg.yaml")
+    _write_cfg(cfg_path, workspace, boost=False)
+    with open(cfg_path) as f:
+        d = _yaml.safe_load(f)
+    d["network_module"] = "boostmvsnerfs_tpu.models.mvsnerf"
+    d["exp_name"] = "mvsnerf"
+    d["enerf"]["cas_config"].update(
+        {"num": 1, "depth_inv": [False], "volume_scale": [0.25],
+         "volume_planes": [8], "im_feat_scale": [0.25],
+         "im_ibr_scale": [0.25], "render_scale": [1.0],
+         "render_im_feat_level": [0], "nerf_model_feat_ch": [32],
+         "render_if": [True], "num_samples": [8], "num_rays": [64],
+         "train_img": [False], "loss_weight": [1.0]}
+    )
+    d["mvsnerf"] = {"pad": 8}
+    with open(cfg_path, "w") as f:
+        _yaml.safe_dump(d, f)
+    cfg = make_cfg(cfg_path)
+    from boostmvsnerfs_tpu.runner import run_evaluate
+
+    ret = run_evaluate(cfg)
+    assert np.isfinite(ret["psnr"])
+
+
+def test_evaluate_boost_mvsnerf(workspace, tmp_path):
+    import yaml as _yaml
+
+    cfg_path = str(tmp_path / "cfg.yaml")
+    _write_cfg(cfg_path, workspace, boost=True)
+    with open(cfg_path) as f:
+        d = _yaml.safe_load(f)
+    d["network_module"] = "boostmvsnerfs_tpu.models.boost_mvsnerf"
+    d["exp_name"] = "boost_mvsnerf"
+    d["enerf"]["cas_config"].update(
+        {"num": 1, "depth_inv": [False], "volume_scale": [0.25],
+         "volume_planes": [8], "im_feat_scale": [0.25],
+         "im_ibr_scale": [0.25], "render_scale": [1.0],
+         "render_im_feat_level": [0], "nerf_model_feat_ch": [32],
+         "render_if": [True], "num_samples": [8], "num_rays": [64],
+         "train_img": [False], "loss_weight": [1.0], "k_best": 2}
+    )
+    d["mvsnerf"] = {"pad": 8}
+    with open(cfg_path, "w") as f:
+        _yaml.safe_dump(d, f)
+    cfg = make_cfg(cfg_path)
+    from boostmvsnerfs_tpu.runner import run_evaluate
+
+    ret = run_evaluate(cfg)
+    assert np.isfinite(ret["psnr"])
