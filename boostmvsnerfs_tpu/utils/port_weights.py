@@ -141,6 +141,76 @@ def port_enerf(state_dict: dict, num_levels: int = 2, viewdir_agg=True) -> dict:
     return {"params": params, "batch_stats": stats}
 
 
+def _cbl(sd, prefix: str, params: dict, stats: dict, path: list[str]):
+    """torch Conv+InPlaceABN block -> flax ConvBnLeaky {Conv_0, BatchNorm_0}.
+    InPlaceABN stores BN-shaped weight/bias/running stats; its default
+    leaky_relu(0.01) activation is applied by our module after the BN."""
+    _set(params, path + ["Conv_0", "kernel"], _conv(sd[f"{prefix}.conv.weight"]))
+    _set(params, path + ["BatchNorm_0", "scale"], sd[f"{prefix}.bn.weight"])
+    _set(params, path + ["BatchNorm_0", "bias"], sd[f"{prefix}.bn.bias"])
+    _set(stats, path + ["BatchNorm_0", "mean"], sd[f"{prefix}.bn.running_mean"])
+    _set(stats, path + ["BatchNorm_0", "var"], sd[f"{prefix}.bn.running_var"])
+
+
+def _deconv_bnl(sd, prefix: str, params: dict, stats: dict, path: list[str]):
+    _set(params, path + ["ConvTranspose_0", "kernel"],
+         _deconv(sd[f"{prefix}.0.weight"]))
+    _set(params, path + ["BatchNorm_0", "scale"], sd[f"{prefix}.1.weight"])
+    _set(params, path + ["BatchNorm_0", "bias"], sd[f"{prefix}.1.bias"])
+    _set(stats, path + ["BatchNorm_0", "mean"], sd[f"{prefix}.1.running_mean"])
+    _set(stats, path + ["BatchNorm_0", "var"], sd[f"{prefix}.1.running_var"])
+
+
+def port_mvsnerf(state_dict: dict, mlp_depth: int = 6) -> dict:
+    """Reference MVSNeRF checkpoint -> {'params', 'batch_stats'}.
+
+    Layer names follow reference lib/networks/mvsnerf/network.py: ``feature``
+    (FPN trunk, :695-732), ``cost_reg_2`` (3D U-Net, :735-779), ``nerf.nerf``
+    (Renderer_ours, :152-229).
+    """
+    sd = {
+        k: (v.numpy() if hasattr(v, "numpy") else np.asarray(v))
+        for k, v in state_dict.items()
+    }
+    params: dict = {}
+    stats: dict = {}
+    # feature trunk: conv0 (2 blocks), conv1 (3), conv2 (3), toplayer
+    if "feature.toplayer.weight" in sd:
+        torch_blocks = [
+            "conv0.0", "conv0.1",
+            "conv1.0", "conv1.1", "conv1.2",
+            "conv2.0", "conv2.1", "conv2.2",
+        ]
+        for i, t in enumerate(torch_blocks):
+            _cbl(sd, f"feature.{t}", params, stats,
+                 ["feature", f"ConvBnLeaky_{i}"])
+        _plain_conv(sd, "feature.toplayer", params, ["feature", "toplayer"])
+
+    # cost regularizer
+    if "cost_reg_2.conv0.conv.weight" in sd:
+        for i, t in enumerate(
+            ["conv0", "conv1", "conv2", "conv3", "conv4", "conv5", "conv6"]
+        ):
+            _cbl(sd, f"cost_reg_2.{t}", params, stats,
+                 ["cost_reg", f"ConvBnLeaky_{i}"])
+        for i, t in enumerate(["conv7", "conv9", "conv11"]):
+            _deconv_bnl(sd, f"cost_reg_2.{t}", params, stats,
+                        ["cost_reg", f"DeconvBnLeaky_{i}"])
+
+    # renderer MLP
+    base = "nerf.nerf"
+    if f"{base}.pts_bias.weight" in sd:
+        for i in range(mlp_depth):
+            _dense(sd, f"{base}.pts_linears.{i}", params,
+                   ["renderer", f"pts_{i}"])
+        _dense(sd, f"{base}.pts_bias", params, ["renderer", "pts_bias"])
+        _dense(sd, f"{base}.alpha_linear", params, ["renderer", "alpha"])
+        _dense(sd, f"{base}.feature_linear", params, ["renderer", "feature"])
+        _dense(sd, f"{base}.views_linears.0", params, ["renderer", "views_0"])
+        _dense(sd, f"{base}.rgb_linear", params, ["renderer", "rgb"])
+    return {"params": params, "batch_stats": stats}
+
+
 def load_torch_checkpoint(path: str) -> dict:
     """Load a reference .pth (CPU); returns the network state dict."""
     import torch
