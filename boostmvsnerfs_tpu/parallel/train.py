@@ -69,7 +69,7 @@ def make_train_step(
             )
             loss, stats = enerf_loss(
                 out, batch, cas.loss_weight, cas.num, cas.render_if,
-                perceptual_fn, image_hw,
+                perceptual_fn, image_hw, cas.train_img,
             )
             return loss, (mutated["batch_stats"], stats)
 

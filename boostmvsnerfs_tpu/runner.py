@@ -346,7 +346,25 @@ def run_train(cfg):
                                   batch_stats=pre["batch_stats"])
             print(f"warm start from {pre_dir}")
 
-    step_fn = make_train_step(model, tx)
+    # VGG16 perceptual loss for full-image training (reference
+    # lib/train/losses/enerf.py:30-38); active when converted torchvision
+    # weights are provided (zero-egress container: convert offline)
+    perceptual_fn, image_hw = None, None
+    vgg_npz = cfg.get("vgg_weights", "")
+    if vgg_npz and os.path.exists(vgg_npz) and any(cas.train_img[: cas.num]):
+        from boostmvsnerfs_tpu.eval.vgg import load_vgg_params, perceptual_loss_fn
+
+        perceptual_fn = perceptual_loss_fn(load_vgg_params(vgg_npz))
+        H, W = first["src_inps"].shape[2:4]
+        image_hw = tuple(
+            (int(H * cas.render_scale[i]), int(W * cas.render_scale[i]))
+            for i in range(cas.num)
+        )
+        print(f"perceptual loss enabled (VGG16 weights: {vgg_npz})")
+
+    step_fn = make_train_step(
+        model, tx, perceptual_fn=perceptual_fn, image_hw=image_hw
+    )
     epochs = int(cfg["train"]["epoch"])
     log_interval = int(cfg.get("log_interval", 20))
     eval_ep = int(cfg.get("eval_ep", 0))

@@ -23,6 +23,7 @@ def enerf_loss(
     render_if: tuple = (True, True),
     perceptual_fn=None,
     image_hw: tuple | None = None,
+    train_img: tuple | None = None,
 ) -> tuple[jnp.ndarray, dict]:
     """Weighted color loss over cascade levels.
 
@@ -42,7 +43,11 @@ def enerf_loss(
         stats[f"color_mse_{i}"] = color_mse
         stats[f"psnr_{i}"] = mse2psnr(color_mse)
         loss = loss + loss_weight[i] * color_mse
-        if perceptual_fn is not None and image_hw is not None:
+        if (
+            perceptual_fn is not None
+            and image_hw is not None
+            and (train_img is None or train_img[i])
+        ):
             h, w = image_hw[i]
             p = perceptual_fn(
                 pred.reshape(pred.shape[0], h, w, 3),
