@@ -55,6 +55,7 @@ class Visualizer:
 
         if not self.color_frames:
             return
+        wrote_video = False
         if self.write_video:
             try:
                 imageio.mimwrite(
@@ -65,11 +66,13 @@ class Visualizer:
                     os.path.join(self.result_dir, "depth.mp4"),
                     self.depth_frames, fps=self.fps,
                 )
+                wrote_video = True
             except Exception:
-                # no ffmpeg: fall back to per-frame PNGs
-                for i, f in enumerate(self.color_frames):
-                    imageio.imwrite(
-                        os.path.join(self.result_dir, f"color_{i:04d}.png"), f
-                    )
+                pass
+        if not wrote_video:
+            for i, f in enumerate(self.color_frames):
+                imageio.imwrite(
+                    os.path.join(self.result_dir, f"color_{i:04d}.png"), f
+                )
         self.color_frames, self.depth_frames = [], []
         print(f"Visualization written to {self.result_dir}")

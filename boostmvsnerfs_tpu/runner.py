@@ -274,6 +274,65 @@ def _init_or_load(cfg, model, dataset, boost):
     return variables
 
 
+def render_novel_path(cfg, n_frames: int = 60, path_type: str = "interpolate"):
+    """Render a novel camera trajectory (reference cfg.render_path flow):
+    cameras interpolated/spiraled through the test views, source views chosen
+    nearest per frame, frames written by the Visualizer."""
+    from boostmvsnerfs_tpu.data.base import nearest_src_views
+    from boostmvsnerfs_tpu.eval.visualizer import Visualizer
+    from boostmvsnerfs_tpu.models.enerf import CascadeConfig
+    from boostmvsnerfs_tpu.utils import camera_paths
+
+    cas = CascadeConfig.from_cfg(cfg["enerf"])
+    model = make_network(cfg)
+    dataset = make_dataset(cfg, "test")
+    boost = requires_view_selection(cfg)
+    variables = _init_or_load(cfg, model, dataset, boost)
+    fwd = make_forward(cfg, model)
+
+    scene = next(iter(dataset.scene_infos))
+    info = dataset.scene_infos[scene]
+    c2ws = np.asarray(info["c2ws"])
+    anchor_ids = sorted({m[1] for m in dataset.metas if m[0] == scene})
+    anchors = c2ws[anchor_ids]
+    if path_type == "spiral":
+        path = camera_paths.spiral_path(anchors, n_frames)
+    else:
+        path = camera_paths.interpolate_path(anchors, n_frames)
+
+    n_views = int(cfg["enerf"]["test_input_views"])
+    vis = Visualizer(cas, cfg["result_dir"],
+                     write_video=cfg.get("write_video", True),
+                     fps=int(cfg.get("fps", 10)))
+    base_sample = dataset.get_sample(0)
+    H = base_sample["src_inps"].shape[1]
+    W = base_sample["src_inps"].shape[2]
+
+    for fi, c2w in enumerate(path):
+        order = nearest_src_views(c2ws, c2w, n_views, exclude_self=False)
+        # reuse dataset plumbing: craft a meta on the fly
+        dataset.metas = [(scene, int(order[0]), [int(i) for i in order])]
+        s = dataset.get_sample(0)
+        s["tar_ext"] = np.linalg.inv(c2w).astype(np.float32)
+        np_batch = {k: (np.asarray(v)[None] if not isinstance(v, dict) else v)
+                    for k, v in s.items() if k != "meta"}
+        np_batch["meta"] = [s["meta"]]
+        if boost:
+            combos = view_combinations(n_views, int(
+                cfg["enerf"].get("cost_volume_input_views", 3)))
+            np_batch["combos"] = combos
+            # novel path frames have no cached selection; fuse the first K
+            # combos of the nearest-view ordering (a greedy per-frame
+            # selection can be enabled via --type preprocess on the path)
+            k = int(cfg["enerf"]["cas_config"]["k_best"])
+            np_batch["k_best"] = np.arange(k, dtype=np.int32)[None] % len(combos)
+        dev = {k: jnp.asarray(v) for k, v in np_batch.items() if k != "meta"}
+        out = host_sync(fwd(variables, dev))
+        np_batch["meta"][0].update({"scene": scene, "tar_view": fi})
+        vis.visualize({k: np.asarray(v) for k, v in out.items()}, np_batch)
+    vis.summarize()
+
+
 # ---------------------------------------------------------------------------
 # training
 # ---------------------------------------------------------------------------

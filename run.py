@@ -108,12 +108,23 @@ def run_visualize(cfg):
     vis.summarize()
 
 
+def run_path(cfg):
+    """Render a novel camera trajectory to video (reference render_path)."""
+    from boostmvsnerfs_tpu import runner
+
+    runner.render_novel_path(
+        cfg,
+        n_frames=int(cfg.get("render_num", 30)),
+        path_type=cfg.get("path_type", "interpolate"),
+    )
+
+
 def main():
     parser = argparse.ArgumentParser()
     parser.add_argument("--cfg_file", required=True)
     parser.add_argument("--type", required=True,
                         choices=["dataset", "network", "preprocess", "evaluate",
-                                 "visualize"])
+                                 "visualize", "path"])
     parser.add_argument("opts", nargs=argparse.REMAINDER, default=[])
     args = parser.parse_args()
 

@@ -175,3 +175,21 @@ def test_evaluate_boost_mvsnerf(workspace, tmp_path):
 
     ret = run_evaluate(cfg)
     assert np.isfinite(ret["psnr"])
+
+
+def test_render_novel_path(workspace, tmp_path):
+    cfg_path = str(tmp_path / "cfg.yaml")
+    _write_cfg(cfg_path, workspace, boost=False)
+    cfg = make_cfg(cfg_path)
+    cfg.exp_name = "path_smoke"
+    cfg.write_video = False
+    from boostmvsnerfs_tpu.config import finalize_cfg
+
+    finalize_cfg(cfg)
+    from boostmvsnerfs_tpu.runner import render_novel_path
+
+    render_novel_path(cfg, n_frames=2)
+    import glob
+
+    pngs = glob.glob(os.path.join(cfg.result_dir, "color_*.png"))
+    assert len(pngs) == 2
