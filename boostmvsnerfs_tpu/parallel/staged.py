@@ -58,13 +58,60 @@ class StagedENeRF:
         self._render = {
             (i, raw): jax.jit(partial(render_stage, i, raw))
             for i in range(self.cas.num)
-            for raw in ((True,) if self.boost else (False,))
+            for raw in (True, False)
         }
+        self._mask_composite = jax.jit(
+            self._mask_composite_fn, static_argnums=(1,)
+        )
         if self.boost:
             self._blend = {
                 i: jax.jit(partial(self._blend_fn, inv=self.cas.depth_inv[i]))
                 for i in range(self.cas.num)
             }
+
+    @staticmethod
+    def _mask_composite_fn(mask, n_samples: int):
+        """Composite per-sample visibility into a coverage image (reference
+        lib/networks/boost_enerf/network.py:61-64)."""
+        m = mask / n_samples
+        pseudo = jnp.broadcast_to(m[..., None], m.shape + (4,))
+        out = render.composite(pseudo, None)
+        return jnp.mean(out["rgb"], axis=-1)
+
+    def coverage_mask(self, variables, batch: dict, combo) -> jnp.ndarray:
+        """Staged equivalent of BoostENeRF.combo_coverage_mask: the full
+        cascade on one 3-view subset, returning the final level's composited
+        visibility mask (B, H_r, W_r). Uses the per-stage jits so no
+        monolithic full-resolution program is ever built."""
+        cas = self.cas
+        sub = {
+            "src_inps": jnp.take(batch["all_src_inps"], combo, axis=1),
+            "src_exts": jnp.take(batch["all_src_exts"], combo, axis=1),
+            "src_ixts": jnp.take(batch["all_src_ixts"], combo, axis=1),
+            "tar_ext": batch["tar_ext"],
+            "tar_ixt": batch["tar_ixt"],
+            "near_far": batch["near_far"],
+        }
+        feats = self._features(variables, sub["src_inps"])
+        prev = None
+        last = cas.num - 1
+        raw_out = None
+        for i in range(cas.num):
+            feat_vol, depth, std, nf_map = self._volume[i](
+                variables, feats, sub["src_exts"], sub["src_ixts"],
+                sub["tar_ext"], sub["tar_ixt"], sub["near_far"], prev,
+            )
+            prev = (depth, std, nf_map)
+            if i == last:
+                raw_out = self._render[(i, True)](
+                    variables, feats, feat_vol, depth, std, nf_map,
+                    _render_batch(sub), batch[f"ray_idx_{i}"],
+                )
+        B, S, H, W, _ = sub["src_inps"].shape
+        H_r = int(H * cas.render_scale[last])
+        W_r = int(W * cas.render_scale[last])
+        m = self._mask_composite(raw_out["mask"], cas.num_samples[last])
+        return m.reshape(B, H_r, W_r)
 
     @staticmethod
     def _blend_fn(raws, masks, zs, depth0, std0, *, inv: bool):

@@ -101,11 +101,26 @@ def run_view_selection(cfg, model, variables, loaders) -> dict:
     combos = view_combinations(n_views, n_input)
     combos_j = jnp.asarray(combos)
 
-    mask_fn = jax.jit(
-        lambda v, b, c: model.apply(
-            v, b, c, method=BoostENeRF.forward_view_selection
+    # jit ONE combo's coverage cascade; the combo ids are a traced input so
+    # all C(N,3) combos reuse a single compiled program (jitting
+    # forward_view_selection whole would unroll 20 cascades into one
+    # monolithic program — pathological for the remote compiler). For
+    # ENeRF-family models the cascade itself runs through the staged jits.
+    from boostmvsnerfs_tpu.models.enerf import ENeRF as _ENeRF
+
+    if isinstance(model, _ENeRF) and cfg.get("execution", "staged") == "staged":
+        from boostmvsnerfs_tpu.parallel.staged import StagedENeRF
+
+        staged = StagedENeRF(model)
+
+        def mask_fn(v, b, c):
+            return staged.coverage_mask(v, b, c)
+    else:
+        mask_fn = jax.jit(
+            lambda v, b, c: model.apply(
+                v, b, c, method=type(model).combo_coverage_mask
+            )
         )
-    )
 
     results = {}
     for loader in loaders:
@@ -113,7 +128,12 @@ def run_view_selection(cfg, model, variables, loaders) -> dict:
             batch = {
                 k: jnp.asarray(v) for k, v in np_batch.items() if k != "meta"
             }
-            masks = np.asarray(mask_fn(variables, batch, combos_j))
+            masks = np.stack(
+                [
+                    np.asarray(host_sync(mask_fn(variables, batch, combos_j[c])))
+                    for c in range(len(combos))
+                ]
+            )
             # (n_combos, B, H, W)
             for b, meta in enumerate(np_batch["meta"]):
                 key = f"{meta['scene']}_{meta['tar_view']}"
