@@ -151,17 +151,16 @@ def grid_sample_3d(
 # ---------------------------------------------------------------------------
 
 def _interp_matrix(n_out: int, n_in: int, dtype=jnp.float32) -> jnp.ndarray:
-    """(n_out, n_in) row-stochastic linear-interp matrix, align-corners."""
+    """(n_out, n_in) row-stochastic linear-interp matrix, align-corners.
+
+    Closed-form triangle weights max(0, 1 - |pos_i - j|) — pure elementwise
+    (a scatter-built construction made XLA constant folding pathologically
+    slow on large resizes)."""
     if n_in == 1:
         return jnp.ones((n_out, 1), dtype)
-    pos = jnp.linspace(0.0, n_in - 1, n_out)
-    i0 = jnp.clip(jnp.floor(pos).astype(jnp.int32), 0, n_in - 2)
-    t = pos - i0
-    rows = jnp.arange(n_out)
-    m = jnp.zeros((n_out, n_in), dtype)
-    m = m.at[rows, i0].add(1.0 - t)
-    m = m.at[rows, i0 + 1].add(t)
-    return m
+    pos = jnp.linspace(0.0, n_in - 1, n_out, dtype=dtype)
+    j = jnp.arange(n_in, dtype=dtype)
+    return jnp.maximum(0.0, 1.0 - jnp.abs(pos[:, None] - j[None, :]))
 
 
 @partial(jax.jit, static_argnums=(1, 2))
