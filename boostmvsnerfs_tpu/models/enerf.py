@@ -58,21 +58,53 @@ class CascadeConfig:
     # boost settings (reference configs/exps/pretrain/enerf_ours/dtu_pretrain.yaml)
     k_best: int = 4
     cost_volume_input_views: int = 3
-    # TPU warp implementation: 'windowed' = MXU interpolation matmuls
-    # (ops/cost_volume.warp_src_view_windowed), 'gather' = XLA gather path.
-    # window height / row tiling are per cascade level; width is always the
-    # full source width (x coverage exact by construction).
-    warp_mode: str = "windowed"
+    # TPU warp implementation: 'pallas' = fused VMEM warp+variance kernel
+    # (ops/pallas/warp_variance.py; eval-time — falls back to 'windowed'
+    # under training for differentiability), 'windowed' = XLA MXU
+    # interpolation matmuls (ops/cost_volume.warp_src_view_windowed),
+    # 'gather' = XLA gather path. window height / row tiling are per cascade
+    # level; width is always the full source width (x coverage exact by
+    # construction).
+    warp_mode: str = "pallas"
     warp_window_h: tuple = (48, 32)
     warp_rows_per_tile: tuple = (4, 1)
+    # per-row y-window of the fused Pallas warp (rows are warped one at a
+    # time so a narrower band suffices than the 4-row XLA tiles above);
+    # validate per camera setup with ops.pallas.warp_variance_coverage
+    pallas_window_h: tuple = (32, 16)
+    # x tiling of the plane-sweep warp (0 = full-width tiles / full source
+    # width window, the exact-by-construction setting). Measured on TPU v5e:
+    # column tiling ADDS per-tile overhead under XLA (the weight matrices
+    # round-trip HBM), so it stays off; the Pallas fused warp supersedes it.
+    warp_cols_per_tile: tuple = (0, 0)
+    warp_window_w: tuple = (0, 0)
     # render-stage sampling at eval time (full-image raster rays):
-    # 'structured' = gather-free row-band sampling + separable volume
-    # resample; 'gather' = XLA gather path (always used for random train rays)
-    eval_sampling: str = "structured"
+    # 'pallas' = fused VMEM row-band sampler (ops/pallas/img_sample.py) +
+    # separable volume resample; 'structured' = XLA row-band sampling +
+    # separable volume resample; 'gather' = XLA gather path (always used for
+    # random train rays)
+    eval_sampling: str = "pallas"
     img_window_h: tuple = (32, 32)
+    # x tiling of the structured image-feature sampler: rows are split into
+    # column tiles of ~img_cols_per_tile pixels, each sampling from a
+    # (img_window_h, img_window_w) source patch. 0 = full-width rows (the
+    # faster setting under XLA — tiling adds per-tile overhead; see
+    # scripts/bench_samplers.py).
+    img_cols_per_tile: tuple = (0, 0)
+    img_window_w: tuple = (0, 0)
     # conv computation dtype ('bfloat16' = the TPU AMP equivalent of the
     # reference autocast trainer); params/BN stats stay float32
     conv_dtype: str = "float32"
+    # dtype of the windowed interpolation matmuls (warp + image-feature
+    # sampling). bfloat16 runs them on the fast MXU path with float32
+    # accumulation — interpolation-weight rounding ~2^-9, well inside the
+    # parity budget (tests/test_mixed_precision.py measures the PSNR delta)
+    warp_dtype: str = "bfloat16"
+
+    def _warp_dt(self):
+        return None if self.warp_dtype == "float32" else jnp.dtype(
+            self.warp_dtype
+        )
 
     @staticmethod
     def from_cfg(node) -> "CascadeConfig":
@@ -166,13 +198,31 @@ class ENeRF(nn.Module):
             src_scale=cas.im_feat_scale[level],
             tar_scale=cas.volume_scale[level],
         )
-        if cas.warp_mode == "windowed":
+        use_pallas = cas.warp_mode == "pallas" and not train
+        if use_pallas:
+            from boostmvsnerfs_tpu.ops.pallas import fused_warp_variance
+
+            dv_metric = dv  # kernel warps at metric depth (dv is metric)
+            vol = fused_warp_variance(
+                feats[f"level_{level}"],
+                pm,
+                dv_metric,
+                window_h=cas.pallas_window_h[level],
+                compute_dtype=jnp.dtype(cas.warp_dtype),
+                interpret=jax.default_backend() != "tpu",
+            )
+        elif cas.warp_mode in ("windowed", "pallas"):
+            cols = cas.warp_cols_per_tile[level]
+            win_w = cas.warp_window_w[level] if cols else 0
             vol = jax.vmap(
                 lambda f, p, d: cost_volume.variance_volume_windowed(
                     f, p, d,
                     window_h=cas.warp_window_h[level],
-                    window_w=f.shape[2],  # full source width: exact in x
+                    # full source width when not column-tiled: exact in x
+                    window_w=win_w or f.shape[2],
                     rows_per_tile=cas.warp_rows_per_tile[level],
+                    compute_dtype=cas._warp_dt(),
+                    cols_per_tile=cols,
                 )
             )(feats[f"level_{level}"], pm, dv)
         else:
@@ -224,7 +274,7 @@ class ENeRF(nn.Module):
         N, Ns = world_xyz.shape[1:3]
         structured = (
             not train
-            and cas.eval_sampling == "structured"
+            and cas.eval_sampling in ("structured", "pallas")
             and N == H_r * W_r
         )
 
@@ -260,6 +310,8 @@ class ENeRF(nn.Module):
             world_xyz, img_feat_rgb, batch, cas.render_scale[level],
             window_h=cas.img_window_h[level] if structured else None,
             raster_hw=(H_r, W_r) if structured else None,
+            cols_per_tile=cas.img_cols_per_tile[level],
+            window_w=cas.img_window_w[level],
         )  # (B, N, Ns, S, C+3+4)
 
         raw = self.nerf_heads[level](
@@ -285,12 +337,15 @@ class ENeRF(nn.Module):
     def _gather_view_features(
         self, world_xyz, img_feat_rgb, batch, render_scale: float,
         window_h: int | None = None, raster_hw: tuple | None = None,
+        cols_per_tile: int = 0, window_w: int = 0,
     ) -> jnp.ndarray:
         """Project samples into every source view and gather features + RGB +
         ray-difference descriptors (reference lib/networks/enerf/utils.py:753-786).
 
         With ``raster_hw`` the rays are a full-image raster and sampling uses
-        the gather-free row-band path (ops/sampling.windowed_sample_rows).
+        the gather-free windowed path (ops/sampling.windowed_sample_tiles):
+        rows (optionally split into ``cols_per_tile``-column tiles with an
+        x window of ``window_w``) sample via MXU triangle-weight matmuls.
         """
         B, N, Ns = world_xyz.shape[:3]
         S = img_feat_rgb.shape[1]
@@ -298,19 +353,66 @@ class ENeRF(nn.Module):
         pts = world_xyz.reshape(B, N * Ns, 3)
         tar_c = geometry.cam_center(batch["tar_ext"])  # (B, 3)
 
+        use_pallas = (
+            raster_hw is not None and self.cas.eval_sampling == "pallas"
+        )
+        pallas_feats = None
+        if use_pallas:
+            from boostmvsnerfs_tpu.ops.pallas.img_sample import (
+                fused_row_sample,
+            )
+
+            H_r, W_r = raster_hw
+            xs, ys = [], []
+            for s in range(S):
+                ixt = geometry.scale_ixt(batch["src_ixts"][:, s], render_scale)
+                xy, _ = geometry.project_points(
+                    pts, batch["src_exts"][:, s], ixt
+                )
+                xs.append(xy[..., 0])
+                ys.append(xy[..., 1])
+            T = W_r * Ns
+            x_all = jnp.stack(xs, 1).reshape(B * S, H_r, T)
+            y_all = jnp.stack(ys, 1).reshape(B * S, H_r, T)
+            imgs = img_feat_rgb.reshape(B * S, Hf, Wf, -1)
+            sampled = fused_row_sample(
+                imgs, x_all, y_all,
+                window_h=window_h,
+                padding_mode="border",
+                compute_dtype=jnp.dtype(self.cas.warp_dtype),
+                interpret=jax.default_backend() != "tpu",
+            )  # (B*S, H_r, T, C)
+            pallas_feats = sampled.reshape(B, S, N * Ns, -1)
+
         per_view = []
         for s in range(S):
-            ixt = geometry.scale_ixt(batch["src_ixts"][:, s], render_scale)
-            xy, _ = geometry.project_points(pts, batch["src_exts"][:, s], ixt)
-            if raster_hw is not None:
+            if pallas_feats is not None:
+                feat = pallas_feats[:, s]
+            elif raster_hw is not None:
+                ixt = geometry.scale_ixt(batch["src_ixts"][:, s], render_scale)
+                xy, _ = geometry.project_points(
+                    pts, batch["src_exts"][:, s], ixt
+                )
                 H_r, W_r = raster_hw
-                tiles = xy.reshape(B, H_r, W_r * Ns, 2)
+                nx = 1
+                if cols_per_tile and window_w:
+                    nx = max(W_r // cols_per_tile, 1)
+                    while W_r % nx:
+                        nx -= 1
+                w_win = window_w if nx > 1 else Wf
+                tiles = xy.reshape(B, H_r * nx, (W_r // nx) * Ns, 2)
                 feat = jax.vmap(
-                    lambda img, c: sampling.windowed_sample_rows(
-                        img, c, window_h, "border"
+                    lambda img, c: sampling.windowed_sample_tiles(
+                        img, c, window_h, w_win, "border",
+                        compute_dtype=self.cas._warp_dt(),
+                        tiles_per_step=nx,
                     )
                 )(img_feat_rgb[:, s], tiles).reshape(B, N * Ns, -1)
             else:
+                ixt = geometry.scale_ixt(batch["src_ixts"][:, s], render_scale)
+                xy, _ = geometry.project_points(
+                    pts, batch["src_exts"][:, s], ixt
+                )
                 feat = jax.vmap(
                     lambda img, c: sampling.grid_sample_2d(img, c, "border")
                 )(img_feat_rgb[:, s], xy)  # (B, N*Ns, C+3)

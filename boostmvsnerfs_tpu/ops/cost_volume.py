@@ -135,36 +135,49 @@ def warp_src_view_windowed(
     window_h: int,
     window_w: int,
     rows_per_tile: int = 1,
+    compute_dtype=None,
+    cols_per_tile: int = 0,
 ) -> jnp.ndarray:
     """Plane-sweep warp as windowed interpolation matmuls (no gathers).
 
     TPU re-design of the ``homo_warp`` gather: for every (depth plane, tile
-    of target rows) the needed source pixels lie in a narrow band, so the
-    bilinear gather becomes (1) a dynamic-slice of a (window_h, window_w, C)
-    source window and (2) two triangle-weight contractions — the wide one on
-    the MXU. Triangle weights relu(1 - |x - j|) over absolute coordinates
+    of target rows x cols) the needed source pixels lie in a narrow band, so
+    the bilinear gather becomes (1) a dynamic-slice of a (window_h, window_w,
+    C) source window and (2) two triangle-weight contractions — the wide one
+    on the MXU. Triangle weights relu(1 - |x - j|) over absolute coordinates
     reproduce grid_sample's zeros-padding exactly; correctness requires only
     that in-image taps fall inside the window (use
     ``warp_window_coverage`` to validate window sizes for a camera setup;
     tests verify equality with the gather path). 9x faster than the XLA
     gather lowering at the fine cascade level on TPU v5e.
+
+    ``cols_per_tile`` > 0 additionally tiles target columns so ``window_w``
+    can shrink below the full source width, cutting the x-contraction cost
+    proportionally.
     """
     D, Ht, Wt = depth_values.shape
+    C = src_feat.shape[-1]
     R_tile = rows_per_tile
     while Ht % R_tile:
         R_tile -= 1
-    n_tiles = Ht // R_tile
-    T = R_tile * Wt  # samples per tile
+    C_tile = cols_per_tile if cols_per_tile else Wt
+    while Wt % C_tile:
+        C_tile -= 1
+    ny, nx = Ht // R_tile, Wt // C_tile
+    T = R_tile * C_tile  # samples per tile
 
     x, y = _warp_coords(src_feat.shape, proj_mat, depth_values)
+
+    def tile_view(a):  # (D, Ht, Wt) -> (D, ny*nx, T)
+        a = a.reshape(D, ny, R_tile, nx, C_tile)
+        return a.transpose(0, 1, 3, 2, 4).reshape(D, ny * nx, T)
+
     out = windowed_warp_from_coords(
-        src_feat,
-        x.reshape(D, n_tiles, T),
-        y.reshape(D, n_tiles, T),
-        window_h,
-        window_w,
+        src_feat, tile_view(x), tile_view(y), window_h, window_w,
+        compute_dtype,
     )
-    return out.reshape(D, Ht, Wt, src_feat.shape[-1])
+    out = out.reshape(D, ny, nx, R_tile, C_tile, C)
+    return out.transpose(0, 1, 3, 2, 4, 5).reshape(D, Ht, Wt, C)
 
 
 def windowed_warp_from_coords(
@@ -173,14 +186,21 @@ def windowed_warp_from_coords(
     y: jnp.ndarray,  # (n_outer, n_tiles, T)
     window_h: int,
     window_w: int,
+    compute_dtype=None,
 ) -> jnp.ndarray:
     """Core of the windowed warp: bilinear sampling with zeros padding as
     dynamic-sliced windows + triangle-weight contractions. Returns
     (n_outer, n_tiles, T, C); the outer axis runs sequentially to bound
-    live window memory, tiles vectorize into batched MXU matmuls."""
+    live window memory, tiles vectorize into batched MXU matmuls.
+
+    ``compute_dtype=jnp.bfloat16`` runs the two contractions on the bf16 MXU
+    path (~4x the f32 rate) with float32 accumulation; interpolation-weight
+    rounding error is ~2^-9 of the feature magnitude.
+    """
     Hs, Ws, C = src_feat.shape
     window_h = min(window_h, Hs)
     window_w = min(window_w, Ws)
+    cdt = compute_dtype or src_feat.dtype
 
     x0 = _window_origin(jnp.min(x, axis=-1), window_w, Ws)
     y0 = _window_origin(jnp.min(y, axis=-1), window_h, Hs)
@@ -200,9 +220,13 @@ def windowed_warp_from_coords(
             0.0, 1.0 - jnp.abs(y_r[:, None] - y0_r - jy[None, :])
         )  # (T, window_h)
         tmp = jnp.einsum(
-            "tx,yxc->tyc", ax, win, preferred_element_type=jnp.float32
+            "tx,yxc->tyc", ax.astype(cdt), win.astype(cdt),
+            preferred_element_type=jnp.float32,
         )
-        return jnp.einsum("ty,tyc->tc", ay, tmp)
+        return jnp.einsum(
+            "ty,tyc->tc", ay.astype(cdt), tmp.astype(cdt),
+            preferred_element_type=jnp.float32,
+        )
 
     def plane_warp(args):
         return jax.vmap(tile_warp)(args)
@@ -224,22 +248,32 @@ def _warp_coords(src_shape, proj_mat, depth_values):
 
 
 def warp_window_coverage(
-    src_shape, proj_mat, depth_values, window_h, window_w, rows_per_tile=1
+    src_shape, proj_mat, depth_values, window_h, window_w, rows_per_tile=1,
+    cols_per_tile=0,
 ):
     """Diagnostic: fraction of in-image taps that a window config would
     miss (0.0 = windowed warp exact for this geometry)."""
     Hs, Ws = src_shape[:2]
     D, Ht, Wt = depth_values.shape
+    window_h = min(window_h, Hs)
+    window_w = min(window_w, Ws)
+    R_tile = rows_per_tile
+    while Ht % R_tile:
+        R_tile -= 1
+    C_tile = cols_per_tile if cols_per_tile else Wt
+    while Wt % C_tile:
+        C_tile -= 1
+    ny, nx = Ht // R_tile, Wt // C_tile
     x, y = _warp_coords(src_shape, proj_mat, depth_values)
-    x = x.reshape(D, -1, rows_per_tile * Wt)
-    y = y.reshape(D, -1, rows_per_tile * Wt)
+
+    def tile_view(a):
+        a = a.reshape(D, ny, R_tile, nx, C_tile)
+        return a.transpose(0, 1, 3, 2, 4).reshape(D, ny * nx, R_tile * C_tile)
+
+    x, y = tile_view(x), tile_view(y)
     x0 = _window_origin(jnp.min(x, axis=-1), window_w, Ws)[..., None]
     y0 = _window_origin(jnp.min(y, axis=-1), window_h, Hs)[..., None]
-    in_img = (x >= -1) & (x <= Ws) & (y >= -1) & (y <= Hs)
-    missed = (
-        (x > x0 + window_w - 1) | (y > y0 + window_h - 1)
-    ) & in_img
-    return jnp.sum(missed) / jnp.maximum(jnp.sum(in_img), 1)
+    return sampling.tap_miss_fraction(x, y, x0, y0, window_h, window_w, Hs, Ws)
 
 
 def variance_volume_windowed(
@@ -249,6 +283,8 @@ def variance_volume_windowed(
     window_h: int,
     window_w: int,
     rows_per_tile: int = 1,
+    compute_dtype=None,
+    cols_per_tile: int = 0,
 ) -> jnp.ndarray:
     """variance_volume built on the windowed matmul warp."""
     S = src_feats.shape[0]
@@ -257,7 +293,7 @@ def variance_volume_windowed(
     for s in range(S):
         w = warp_src_view_windowed(
             src_feats[s], proj_mats[s], depth_values, window_h, window_w,
-            rows_per_tile,
+            rows_per_tile, compute_dtype, cols_per_tile,
         )
         vol_sum = vol_sum + w
         vol_sq = vol_sq + w * w

@@ -24,9 +24,29 @@ def init_variables(model, example_batch: dict | None = None, seed: int = 0):
     """
     cpu = jax.devices("cpu")[0]
     small = _shrink_batch(model, example_batch)
+    init_model = _cpu_init_model(model)
     with jax.default_device(cpu):
         small = {k: jnp.asarray(v) for k, v in small.items()}
-        return model.init(jax.random.PRNGKey(seed), small, False)
+        return init_model.init(jax.random.PRNGKey(seed), small, False)
+
+
+def _cpu_init_model(model):
+    """Clone with the XLA warp path: the Pallas kernel cannot lower for the
+    CPU device init runs on, and the warp carries no parameters, so the
+    clone's variables are identical."""
+    import dataclasses
+
+    cas = getattr(model, "cas", None)
+    if cas is None:
+        return model
+    repl = {}
+    if getattr(cas, "warp_mode", None) == "pallas":
+        repl["warp_mode"] = "windowed"
+    if getattr(cas, "eval_sampling", None) == "pallas":
+        repl["eval_sampling"] = "structured"
+    if repl:
+        return model.clone(cas=dataclasses.replace(cas, **repl))
+    return model
 
 
 def _shrink_batch(model, example_batch):

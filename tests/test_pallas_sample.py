@@ -1,0 +1,80 @@
+"""Fused Pallas row-band image sampler vs the gather-based reference path."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from boostmvsnerfs_tpu.ops import sampling
+from boostmvsnerfs_tpu.ops.pallas.img_sample import fused_row_sample
+
+INTERPRET = jax.devices()[0].platform != "tpu"
+
+
+def _setup(rng, V=2, H=24, W=32, C=5, R=6, T=40):
+    imgs = rng.standard_normal((V, H, W, C)).astype(np.float32)
+    xs = np.linspace(-3, W + 2, T)[None, None] + rng.normal(
+        0, 0.3, (V, R, T)
+    )
+    ys = (np.arange(R) * 3.0)[None, :, None] + rng.normal(0, 1.0, (V, R, T))
+    return jnp.asarray(imgs), jnp.asarray(xs.astype(np.float32)), jnp.asarray(
+        ys.astype(np.float32)
+    )
+
+
+@pytest.mark.parametrize("padding_mode", ["zeros", "border"])
+def test_fused_row_sample_matches_gather(rng, padding_mode):
+    imgs, x, y = _setup(rng)
+    got = fused_row_sample(
+        imgs, x, y, window_h=8, padding_mode=padding_mode,
+        compute_dtype=jnp.float32, interpret=INTERPRET,
+    )
+    V, R, T = x.shape
+    xy = jnp.stack([x, y], axis=-1).reshape(V, R * T, 2)
+    want = jax.vmap(
+        lambda im, c: sampling.grid_sample_2d(im, c, padding_mode)
+    )(imgs, xy).reshape(V, R, T, -1)
+    np.testing.assert_allclose(
+        np.asarray(got), np.asarray(want), rtol=1e-4, atol=1e-5
+    )
+
+
+def test_fused_row_sample_dma_band_mode(rng):
+    """Images too large for VMEM residency take the HBM band-DMA path and
+    must stay exact."""
+    V, H, W, C, R, T = 1, 512, 640, 16, 8, 64
+    imgs = jnp.asarray(rng.standard_normal((V, H, W, C)).astype(np.float32))
+    base = 100.0 + 20.0 * np.arange(R)
+    xs = base[None, :, None] + np.linspace(0, 50, T)[None, None]
+    ys = 40.0 + 30.0 * np.arange(R)[None, :, None] + rng.normal(
+        0, 1.0, (V, R, T)
+    )
+    x = jnp.asarray(xs.astype(np.float32))
+    y = jnp.asarray(ys.astype(np.float32))
+    got = fused_row_sample(
+        imgs, x, y, window_h=8, padding_mode="border",
+        compute_dtype=jnp.float32, interpret=INTERPRET,
+    )
+    xy = jnp.stack([x, y], axis=-1).reshape(V, R * T, 2)
+    want = jax.vmap(
+        lambda im, c: sampling.grid_sample_2d(im, c, "border")
+    )(imgs, xy).reshape(V, R, T, -1)
+    np.testing.assert_allclose(
+        np.asarray(got), np.asarray(want), rtol=1e-4, atol=1e-5
+    )
+
+
+def test_fused_row_sample_bf16_close(rng):
+    imgs, x, y = _setup(rng)
+    got = fused_row_sample(
+        imgs, x, y, window_h=8, padding_mode="border", interpret=INTERPRET
+    )
+    V, R, T = x.shape
+    xc = jnp.clip(x, 0, imgs.shape[2] - 1)
+    yc = jnp.clip(y, 0, imgs.shape[1] - 1)
+    xy = jnp.stack([xc, yc], axis=-1).reshape(V, R * T, 2)
+    want = jax.vmap(
+        lambda im, c: sampling.grid_sample_2d(im, c, "border")
+    )(imgs, xy).reshape(V, R, T, -1)
+    err = np.abs(np.asarray(got) - np.asarray(want))
+    assert err.mean() < 0.02

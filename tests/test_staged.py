@@ -9,7 +9,7 @@ from boostmvsnerfs_tpu.models.enerf import CascadeConfig, ENeRF
 from boostmvsnerfs_tpu.parallel.staged import StagedENeRF
 from tests.helpers import make_batch
 
-CAS = CascadeConfig(volume_planes=(16, 8), num_samples=(8, 2))
+CAS = CascadeConfig(volume_planes=(16, 8), num_samples=(8, 2), warp_dtype="float32")
 
 
 def test_staged_matches_monolithic_enerf():

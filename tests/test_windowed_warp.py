@@ -56,3 +56,20 @@ def test_windowed_handles_out_of_image(rng):
     want = cost_volume.warp_src_view(feat, pm_shifted, dv)
     got = cost_volume.warp_src_view_windowed(feat, pm_shifted, dv, 48, 64)
     np.testing.assert_allclose(np.asarray(got), np.asarray(want), atol=2e-4)
+
+
+def test_column_tiled_windowed_matches_gather(rng):
+    feat, pm, dv = _setup(rng)
+    want = cost_volume.warp_src_view(feat, pm, dv)
+    got = cost_volume.warp_src_view_windowed(
+        feat, pm, dv, 48, 64, rows_per_tile=4, cols_per_tile=6
+    )
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want), atol=1e-4)
+
+
+def test_column_tiled_coverage_zero(rng):
+    feat, pm, dv = _setup(rng)
+    miss = cost_volume.warp_window_coverage(
+        feat.shape, pm, dv, 48, 64, rows_per_tile=4, cols_per_tile=6
+    )
+    assert float(miss) == 0.0
