@@ -85,6 +85,11 @@ class CascadeConfig:
     # random train rays)
     eval_sampling: str = "pallas"
     img_window_h: tuple = (32, 32)
+    # y-band of the fused Pallas sampler. Default matches the XLA full-row
+    # bands (img_window_h) — per-chunk bands are strictly tighter than
+    # full-row bands, so coverage is at least as good; tune down per dataset
+    # after checking ops.sampling.sample_window_coverage
+    pallas_img_window_h: tuple = (32, 32)
     # x tiling of the structured image-feature sampler: rows are split into
     # column tiles of ~img_cols_per_tile pixels, each sampling from a
     # (img_window_h, img_window_w) source patch. 0 = full-width rows (the
@@ -260,10 +265,23 @@ class ENeRF(nn.Module):
         D = feat_vol.shape[1]
         Hv, Wv = feat_vol.shape[2], feat_vol.shape[3]
 
+        N = ray_idx.shape[1]
+        structured = (
+            not train
+            and cas.eval_sampling in ("structured", "pallas")
+            and N == H_r * W_r
+        )
+
         bounds_map = render.ray_bounds_maps(depth, std, nf_map, H_r, W_r, inv)
-        bounds = jnp.take_along_axis(
-            bounds_map.reshape(B, H_r * W_r, 4), ray_idx[..., None], axis=1
-        )  # (B, N, 4)
+        if structured:
+            # full-raster rays are raster-ordered by construction: the
+            # per-ray gather is an identity
+            bounds = bounds_map.reshape(B, N, 4)
+        else:
+            bounds = jnp.take_along_axis(
+                bounds_map.reshape(B, H_r * W_r, 4), ray_idx[..., None],
+                axis=1,
+            )  # (B, N, 4)
         xy = geometry.flat_idx_to_xy(ray_idx, W_r)  # (B, N, 2)
         tar_ixt_r = geometry.scale_ixt(batch["tar_ixt"], cas.render_scale[level])
         ray_o, ray_d = geometry.rays_from_pixels(tar_ixt_r, batch["tar_ext"], xy)
@@ -271,12 +289,7 @@ class ENeRF(nn.Module):
         world_xyz, uvd, z_vals = render.sample_along_depth(
             ray_o, ray_d, bounds, xy, cas.num_samples[level], inv
         )
-        N, Ns = world_xyz.shape[1:3]
-        structured = (
-            not train
-            and cas.eval_sampling in ("structured", "pallas")
-            and N == H_r * W_r
-        )
+        Ns = world_xyz.shape[2]
 
         # voxel features: normalize uv to [0,1] over the render frame, then
         # scale to volume pixel coords (reference network.py:37-38 +
@@ -312,6 +325,7 @@ class ENeRF(nn.Module):
             raster_hw=(H_r, W_r) if structured else None,
             cols_per_tile=cas.img_cols_per_tile[level],
             window_w=cas.img_window_w[level],
+            pallas_window_h=cas.pallas_img_window_h[level],
         )  # (B, N, Ns, S, C+3+4)
 
         raw = self.nerf_heads[level](
@@ -338,6 +352,7 @@ class ENeRF(nn.Module):
         self, world_xyz, img_feat_rgb, batch, render_scale: float,
         window_h: int | None = None, raster_hw: tuple | None = None,
         cols_per_tile: int = 0, window_w: int = 0,
+        pallas_window_h: int = 16,
     ) -> jnp.ndarray:
         """Project samples into every source view and gather features + RGB +
         ray-difference descriptors (reference lib/networks/enerf/utils.py:753-786).
@@ -377,7 +392,7 @@ class ENeRF(nn.Module):
             imgs = img_feat_rgb.reshape(B * S, Hf, Wf, -1)
             sampled = fused_row_sample(
                 imgs, x_all, y_all,
-                window_h=window_h,
+                window_h=pallas_window_h,
                 padding_mode="border",
                 compute_dtype=jnp.dtype(self.cas.warp_dtype),
                 interpret=jax.default_backend() != "tpu",

@@ -2,7 +2,13 @@
 
 Re-design of reference lib/networks/enerf/nerf.py. Every layer is a small
 dense matmul over (rays x samples) points — flattened so the MXU sees one
-large batched GEMM per layer.
+large batched GEMM per layer. Layers that the reference feeds with
+broadcast-and-concatenate inputs (per-sample features repeated across the S
+views) are applied as split kernels instead: the per-sample part is computed
+once and broadcast-added, which removes the dominant HBM traffic of
+materializing (N*Ns*S, C) concatenations. Parameters are identical to the
+concatenated nn.Dense (same names/shapes — the kernel is sliced at apply
+time), so checkpoint porting is unaffected.
 """
 
 from __future__ import annotations
@@ -12,6 +18,19 @@ import jax
 import jax.numpy as jnp
 
 kaiming = nn.initializers.kaiming_normal()
+
+
+class _DenseParams(nn.Module):
+    """Parameter container with nn.Dense's exact variable names/shapes."""
+
+    features: int
+    in_features: int
+
+    @nn.compact
+    def __call__(self):
+        k = self.param("kernel", kaiming, (self.in_features, self.features))
+        b = self.param("bias", nn.initializers.zeros, (self.features,))
+        return k, b
 
 
 class Agg(nn.Module):
@@ -35,16 +54,16 @@ class Agg(nn.Module):
         else:
             img_feat_rgb = img_feat_rgb_dir[..., :-4]
 
-        S = img_feat_rgb.shape[-2]
+        C = self.feat_ch
         var_feat = jnp.var(img_feat_rgb, axis=-2, keepdims=True)
         avg_feat = jnp.mean(img_feat_rgb, axis=-2, keepdims=True)
-        var_feat = jnp.broadcast_to(var_feat, img_feat_rgb.shape)
-        avg_feat = jnp.broadcast_to(avg_feat, img_feat_rgb.shape)
 
-        feat = jnp.concatenate([img_feat_rgb, var_feat, avg_feat], axis=-1)
-        global_feat = nn.relu(
-            nn.Dense(32, kernel_init=kaiming, name="global_fc")(feat)
-        )
+        # global_fc over concat([img, var, avg]) with the kernel split: the
+        # (var, avg) part is per-sample and broadcast-added across views
+        k, b = _DenseParams(32, 3 * C, name="global_fc")()
+        stat = var_feat @ k[C:2 * C] + avg_feat @ k[2 * C:] + b  # (.., 1, 32)
+        global_feat = nn.relu(img_feat_rgb @ k[:C] + stat)  # (.., S, 32)
+
         agg_w = jax.nn.softmax(
             nn.relu(nn.Dense(1, kernel_init=kaiming, name="agg_w_fc")(global_feat)),
             axis=-2,
@@ -72,11 +91,15 @@ class NeRFHead(nn.Module):
         vox_img_feat = jnp.concatenate([vox_feat, img_feat], axis=-1)  # (..., 24)
         x = nn.relu(nn.Dense(self.hid_n, kernel_init=kaiming, name="lr0")(vox_img_feat))
         sigma = nn.softplus(nn.Dense(1, kernel_init=kaiming, name="sigma")(x))
-        x = jnp.concatenate([x, vox_img_feat], axis=-1)  # (..., 64+24)
-        S = img_feat_rgb_dir.shape[-2]
-        x = jnp.broadcast_to(x[..., None, :], x.shape[:-1] + (S, x.shape[-1]))
-        x = jnp.concatenate([x, img_feat_rgb_dir], axis=-1)
-        w = nn.relu(nn.Dense(self.hid_n, kernel_init=kaiming, name="color0")(x))
+
+        # color0 over concat([x, vox_img_feat] broadcast to S, per-view
+        # features) with the kernel split: the per-sample part runs once
+        xi = jnp.concatenate([x, vox_img_feat], axis=-1)  # (..., hid+24)
+        Dx = xi.shape[-1]
+        Dv = img_feat_rgb_dir.shape[-1]
+        k, b = _DenseParams(self.hid_n, Dx + Dv, name="color0")()
+        base = xi @ k[:Dx] + b  # (..., hid)
+        w = nn.relu(base[..., None, :] + img_feat_rgb_dir @ k[Dx:])
         w = nn.relu(nn.Dense(1, kernel_init=kaiming, name="color1")(w))
         color_weight = jax.nn.softmax(w, axis=-2)
         color = jnp.sum(img_feat_rgb_dir[..., -7:-4] * color_weight, axis=-2)

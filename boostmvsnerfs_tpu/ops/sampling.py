@@ -366,9 +366,12 @@ def plane_resample_z(
     D, Hv, Wv, C = vol.shape
     H_out, W_out, S = z.shape
     planes = resize_bilinear(vol, H_out, W_out)  # (D, H_out, W_out, C)
-    planes = jnp.moveaxis(planes, 0, 2)  # (H_out, W_out, D, C)
     # triangle weights over the (small) z axis: the two bilinear taps fall
-    # out naturally and out-of-range z contributes zeros (= zeros padding)
-    jz = jnp.arange(D, dtype=vol.dtype)
-    az = jnp.maximum(0.0, 1.0 - jnp.abs(z[..., None] - jz))  # (H,W,S,D)
-    return jnp.einsum("hwsd,hwdc->hwsc", az, planes)
+    # out naturally and out-of-range z contributes zeros (= zeros padding).
+    # Unrolled elementwise accumulation — the per-pixel (S, D) x (D, C)
+    # einsum lowers to tiny matmuls that crawl on the TPU VPU.
+    out = jnp.zeros((H_out, W_out, S, C), vol.dtype)
+    for d in range(D):
+        w = jnp.maximum(0.0, 1.0 - jnp.abs(z - d))  # (H, W, S)
+        out = out + w[..., None] * planes[d][:, :, None, :]
+    return out
