@@ -173,6 +173,11 @@ def default_cfg() -> CfgNode:
             "eval_lpips": True,
             "skip_eval": False,
             "fix_random": False,
+            # enable jax_debug_nans during training (the analog of the
+            # reference's torch anomaly detection / NaN ipdb traps)
+            "debug_nans": False,
+            # write a jax.profiler trace of the eval loop to this directory
+            "profile_dir": "",
             "resume": True,
             "ep_iter": -1,
             "save_ep": 1,

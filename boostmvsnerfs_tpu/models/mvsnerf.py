@@ -25,6 +25,7 @@ import flax.linen as nn
 import jax
 import jax.numpy as jnp
 
+from boostmvsnerfs_tpu.models.nerf_head import _DenseParams as DenseParams
 from boostmvsnerfs_tpu.ops import geometry, render, sampling
 
 kaiming = nn.initializers.kaiming_normal()
@@ -43,6 +44,15 @@ class MVSNeRFConfig:
     near_far_scale: tuple = (0.8, 1.2)
     k_best: int = 4
     cost_volume_input_views: int = 3
+    # full-raster eval sampling: 'pallas' routes the per-view color lookups
+    # through the fused VMEM row-band sampler (rows ordered (h, sample, w)
+    # so each row-chunk's y-band stays tight); 'gather' = XLA gathers
+    eval_sampling: str = "pallas"
+    pallas_img_window_h: int = 16
+    # (y, z) windows of the fused trilinear volume sampler; validate per
+    # camera setup with ops.pallas.tri_sample.tri_window_coverage
+    pallas_vol_window_h: int = 16
+    pallas_vol_window_z: int = 6
 
     @staticmethod
     def from_cfg(cfg) -> "MVSNeRFConfig":
@@ -139,13 +149,53 @@ def positional_encoding(x: jnp.ndarray, n_freqs: int) -> jnp.ndarray:
 
 class RendererMLP(nn.Module):
     """Renderer_ours (reference network.py:152-229): feature-modulated trunk
-    with skip, relu alpha head, sigmoid rgb head on a viewdir branch."""
+    with skip, relu alpha head, sigmoid rgb head on a viewdir branch.
+
+    ``use_pallas=True`` routes the whole MLP through the fused VMEM kernel
+    (ops/pallas/mlp.py) — same parameter tree, bf16 matmul numerics."""
 
     cfg: MVSNeRFConfig
 
     @nn.compact
-    def __call__(self, pts_enc, feat, viewdirs):
+    def __call__(self, pts_enc, feat, viewdirs, use_pallas: bool = False):
         W = self.cfg.mlp_width
+        if use_pallas:
+            from boostmvsnerfs_tpu.ops.pallas.mlp import (
+                _param_list,
+                fused_renderer_mlp,
+            )
+
+            depth = self.cfg.mlp_depth
+            P, F = pts_enc.shape[-1], feat.shape[-1]
+            dims = {"pts_bias": (F, W)}
+            in_d = P
+            for i in range(depth):
+                dims[f"pts_{i}"] = (in_d, W)
+                in_d = W + (P if i in self.cfg.skips else 0)
+            dims["alpha"] = (in_d, 1)
+            dims["feature"] = (in_d, W)
+            dims["views_0"] = (W + 3, W // 2)
+            dims["rgb"] = (W // 2, 3)
+            names, _ = _param_list(
+                {"params": {n: {"kernel": 0, "bias": 0} for n in dims}},
+                depth,
+            )
+            params = {
+                "params": {
+                    n: dict(
+                        zip(
+                            ("kernel", "bias"),
+                            DenseParams(dims[n][1], dims[n][0], name=n)(),
+                        )
+                    )
+                    for n in names
+                }
+            }
+            return fused_renderer_mlp(
+                params, pts_enc, feat, viewdirs,
+                depth=depth, skips=tuple(self.cfg.skips),
+                interpret=jax.default_backend() != "tpu",
+            )
         h = pts_enc
         bias = nn.Dense(W, kernel_init=kaiming, name="pts_bias")(feat)
         for i in range(self.cfg.mlp_depth):
@@ -325,26 +375,90 @@ class MVSNeRF(nn.Module):
         # trilinear volume features (align-corners over padded volume)
         Dp, hp, wp = volume.shape[1:4]
         vox_xyz = uvd * jnp.asarray([wp - 1, hp - 1, Dp - 1], jnp.float32)
-        ray_feats = jax.vmap(
-            lambda vol, pts: sampling.grid_sample_3d(vol, pts, "zeros")
-        )(volume, vox_xyz)  # (B, N*D, 8)
+        N_rays = ray_idx.shape[1]
+        use_pallas = (
+            not train
+            and self.cfg.eval_sampling == "pallas"
+            and N_rays == H * W
+        )
+        if use_pallas:
+            from boostmvsnerfs_tpu.ops.pallas.tri_sample import (
+                fused_tri_sample,
+            )
+
+            # (h, sample, w)-ordered rows keep each row's (y, z) bands tight
+            c = jnp.swapaxes(vox_xyz.reshape(B, H, W, D, 3), 2, 3)
+            ray_feats = fused_tri_sample(
+                volume,
+                c[..., 0].reshape(B, H * D, W),
+                c[..., 1].reshape(B, H * D, W),
+                c[..., 2].reshape(B, H * D, W),
+                window_h=cfg.pallas_vol_window_h,
+                window_z=cfg.pallas_vol_window_z,
+                interpret=jax.default_backend() != "tpu",
+            )  # (B, H*D, W, 8)
+            ray_feats = jnp.swapaxes(
+                ray_feats.reshape(B, H, D, W, -1), 2, 3
+            ).reshape(B, N_rays * D, -1)
+        else:
+            ray_feats = jax.vmap(
+                lambda vol, pts: sampling.grid_sample_3d(vol, pts, "zeros")
+            )(volume, vox_xyz)  # (B, N*D, 8)
 
         # per-view colors + in-mask (build_color_volume, utils.py:300-332)
         rgbs = render.unpreprocess(batch["src_inps"])
-        color_feats = []
         pts = world_xyz.reshape(B, -1, 3)
-        for v in range(V):
-            xy_v, depth_v = geometry.project_points(
-                pts, batch["src_exts"][:, v], batch["src_ixts"][:, v],
-            )
-            col = jax.vmap(
-                lambda img, c: sampling.grid_sample_2d(img, c, "border")
-            )(rgbs[:, v], xy_v)
-            in_mask = (
-                (xy_v[..., 0] >= 0) & (xy_v[..., 0] <= W - 1)
-                & (xy_v[..., 1] >= 0) & (xy_v[..., 1] <= H - 1)
-            ).astype(jnp.float32)[..., None]
-            color_feats.append(jnp.concatenate([col, in_mask], axis=-1))
+        color_feats = []
+        if use_pallas:
+            from boostmvsnerfs_tpu.ops.pallas.img_sample import fused_row_sample
+
+            # rows ordered (target row, sample index): the projected y-band
+            # of one (h, d) row is tight, unlike (h, w*D) rows whose D
+            # samples sweep the whole depth range
+            xs, ys = [], []
+            for v in range(V):
+                xy_v, _ = geometry.project_points(
+                    pts, batch["src_exts"][:, v], batch["src_ixts"][:, v],
+                )
+                c = xy_v.reshape(B, H, W, D, 2)
+                c = jnp.swapaxes(c, 2, 3)  # (B, H, D, W, 2)
+                xs.append(c[..., 0].reshape(B, H * D, W))
+                ys.append(c[..., 1].reshape(B, H * D, W))
+            x_all = jnp.stack(xs, 1).reshape(B * V, H * D, W)
+            y_all = jnp.stack(ys, 1).reshape(B * V, H * D, W)
+            imgs = rgbs.reshape(B * V, H, W, 3)
+            col = fused_row_sample(
+                imgs, x_all, y_all,
+                window_h=self.cfg.pallas_img_window_h,
+                padding_mode="border",
+                interpret=jax.default_backend() != "tpu",
+            )  # (B*V, H*D, W, 3)
+            col = col.reshape(B, V, H, D, W, 3)
+            col = jnp.swapaxes(col, 3, 4).reshape(B, V, H * W * D, 3)
+            for v in range(V):
+                xy_v, _ = geometry.project_points(
+                    pts, batch["src_exts"][:, v], batch["src_ixts"][:, v],
+                )
+                in_mask = (
+                    (xy_v[..., 0] >= 0) & (xy_v[..., 0] <= W - 1)
+                    & (xy_v[..., 1] >= 0) & (xy_v[..., 1] <= H - 1)
+                ).astype(jnp.float32)[..., None]
+                color_feats.append(
+                    jnp.concatenate([col[:, v], in_mask], axis=-1)
+                )
+        else:
+            for v in range(V):
+                xy_v, depth_v = geometry.project_points(
+                    pts, batch["src_exts"][:, v], batch["src_ixts"][:, v],
+                )
+                col = jax.vmap(
+                    lambda img, c: sampling.grid_sample_2d(img, c, "border")
+                )(rgbs[:, v], xy_v)
+                in_mask = (
+                    (xy_v[..., 0] >= 0) & (xy_v[..., 0] <= W - 1)
+                    & (xy_v[..., 1] >= 0) & (xy_v[..., 1] <= H - 1)
+                ).astype(jnp.float32)[..., None]
+                color_feats.append(jnp.concatenate([col, in_mask], axis=-1))
         input_feat = jnp.concatenate([ray_feats] + color_feats, axis=-1)  # 8+4V
 
         # view directions in the reference camera frame (gen_dir_feature)
@@ -356,7 +470,7 @@ class MVSNeRF(nn.Module):
         ).reshape(B, -1, 3)
 
         pts_enc = positional_encoding(uvd, cfg.pos_freqs)  # (B, N*D, 63)
-        raw = self.renderer(pts_enc, input_feat, dirs_ref)
+        raw = self.renderer(pts_enc, input_feat, dirs_ref, use_pallas=use_pallas)
         raw = raw.reshape(B, -1, D, 4)
 
         out = {"net_output": raw, "z_vals": z_vals}

@@ -218,20 +218,28 @@ def run_evaluate(cfg, model=None, variables=None):
             n_data=int(mesh_cfg.get("data", 1)), n_rays=n_rays_axis
         )
 
-    net_times = []
-    for np_batch in loader:
-        if boost:
-            np_batch = attach_boost_inputs(np_batch, vs, cfg)
-        batch = to_device_batch(np_batch)
-        dev_batch = {k: v for k, v in batch.items() if k != "meta"}
-        if mesh is not None:
-            from boostmvsnerfs_tpu.parallel.mesh import shard_batch
+    from boostmvsnerfs_tpu.utils.profiling import device_trace
 
-            dev_batch = shard_batch(mesh, dev_batch)
-        t0 = time.perf_counter()
-        out = host_sync(fwd(variables, dev_batch))
-        net_times.append(time.perf_counter() - t0)
-        evaluator.evaluate({k: np.asarray(v) for k, v in out.items()}, np_batch)
+    net_times = []
+    # cfg.profile_dir: write a jax.profiler device trace of the eval loop
+    # (TPU-native equivalent of the reference's cuda-sync perf_timer,
+    # lib/utils/net_utils.py:31-70)
+    with device_trace(cfg.get("profile_dir")):
+        for np_batch in loader:
+            if boost:
+                np_batch = attach_boost_inputs(np_batch, vs, cfg)
+            batch = to_device_batch(np_batch)
+            dev_batch = {k: v for k, v in batch.items() if k != "meta"}
+            if mesh is not None:
+                from boostmvsnerfs_tpu.parallel.mesh import shard_batch
+
+                dev_batch = shard_batch(mesh, dev_batch)
+            t0 = time.perf_counter()
+            out = host_sync(fwd(variables, dev_batch))
+            net_times.append(time.perf_counter() - t0)
+            evaluator.evaluate(
+                {k: np.asarray(v) for k, v in out.items()}, np_batch
+            )
     ret = evaluator.summarize()
     if len(net_times) > 1:
         fps = 1.0 / float(np.mean(net_times[1:]))
@@ -366,6 +374,12 @@ def run_train(cfg):
     from boostmvsnerfs_tpu.train.checkpoint import CheckpointManager, load_pretrain
     from boostmvsnerfs_tpu.train.recorder import Recorder
     from boostmvsnerfs_tpu.train.schedule import make_optimizer
+
+    # numerical-guard parity: the reference leaves anomaly detection / NaN
+    # traps enabled in places (lib/networks/mvsnerf/network.py:8,
+    # lib/networks/enerf/network.py:110-111); the JAX analog is opt-in
+    if cfg.get("debug_nans"):
+        jax.config.update("jax_debug_nans", True)
 
     cas = CascadeConfig.from_cfg(cfg["enerf"])
     model = make_network(cfg)

@@ -37,15 +37,18 @@ def _cpu_init_model(model):
     import dataclasses
 
     cas = getattr(model, "cas", None)
-    if cas is None:
+    if cas is not None:
+        repl = {}
+        if getattr(cas, "warp_mode", None) == "pallas":
+            repl["warp_mode"] = "windowed"
+        if getattr(cas, "eval_sampling", None) == "pallas":
+            repl["eval_sampling"] = "structured"
+        if repl:
+            return model.clone(cas=dataclasses.replace(cas, **repl))
         return model
-    repl = {}
-    if getattr(cas, "warp_mode", None) == "pallas":
-        repl["warp_mode"] = "windowed"
-    if getattr(cas, "eval_sampling", None) == "pallas":
-        repl["eval_sampling"] = "structured"
-    if repl:
-        return model.clone(cas=dataclasses.replace(cas, **repl))
+    cfg = getattr(model, "cfg", None)
+    if cfg is not None and getattr(cfg, "eval_sampling", None) == "pallas":
+        return model.clone(cfg=dataclasses.replace(cfg, eval_sampling="gather"))
     return model
 
 
