@@ -203,18 +203,28 @@ class ENeRF(nn.Module):
             src_scale=cas.im_feat_scale[level],
             tar_scale=cas.volume_scale[level],
         )
-        use_pallas = cas.warp_mode == "pallas" and not train
-        if use_pallas:
-            from boostmvsnerfs_tpu.ops.pallas import fused_warp_variance
+        from boostmvsnerfs_tpu.ops import pallas as pallas_ops
 
+        _, Sf, Hf_, Wf_, Cf = feats[f"level_{level}"].shape
+        use_pallas = (
+            cas.warp_mode == "pallas"
+            and not train
+            # non-TPU backends fall back to the XLA windowed path instead
+            # of Pallas interpret mode (orders of magnitude slower)
+            and pallas_ops.pallas_supported()
+            # oversized source stacks (no HBM band mode in this kernel)
+            # fall back too rather than failing to compile
+            and pallas_ops.warp_variance_fits(Sf, Hf_, Wf_, Cf, cas.warp_dtype)
+        )
+        if use_pallas:
             dv_metric = dv  # kernel warps at metric depth (dv is metric)
-            vol = fused_warp_variance(
+            vol = pallas_ops.fused_warp_variance(
                 feats[f"level_{level}"],
                 pm,
                 dv_metric,
                 window_h=cas.pallas_window_h[level],
                 compute_dtype=jnp.dtype(cas.warp_dtype),
-                interpret=jax.default_backend() != "tpu",
+                interpret=pallas_ops.pallas_interpret(),
             )
         elif cas.warp_mode in ("windowed", "pallas"):
             cols = cas.warp_cols_per_tile[level]
@@ -226,7 +236,9 @@ class ENeRF(nn.Module):
                     # full source width when not column-tiled: exact in x
                     window_w=win_w or f.shape[2],
                     rows_per_tile=cas.warp_rows_per_tile[level],
-                    compute_dtype=cas._warp_dt(),
+                    # training gradients stay float32: the bf16 MXU default
+                    # is an eval-only throughput knob
+                    compute_dtype=None if train else cas._warp_dt(),
                     cols_per_tile=cols,
                 )
             )(feats[f"level_{level}"], pm, dv)
@@ -368,8 +380,12 @@ class ENeRF(nn.Module):
         pts = world_xyz.reshape(B, N * Ns, 3)
         tar_c = geometry.cam_center(batch["tar_ext"])  # (B, 3)
 
+        from boostmvsnerfs_tpu.ops import pallas as pallas_ops
+
         use_pallas = (
-            raster_hw is not None and self.cas.eval_sampling == "pallas"
+            raster_hw is not None
+            and self.cas.eval_sampling == "pallas"
+            and pallas_ops.pallas_supported()
         )
         pallas_feats = None
         if use_pallas:
@@ -395,7 +411,7 @@ class ENeRF(nn.Module):
                 window_h=pallas_window_h,
                 padding_mode="border",
                 compute_dtype=jnp.dtype(self.cas.warp_dtype),
-                interpret=jax.default_backend() != "tpu",
+                interpret=pallas_ops.pallas_interpret(),
             )  # (B*S, H_r, T, C)
             pallas_feats = sampled.reshape(B, S, N * Ns, -1)
 

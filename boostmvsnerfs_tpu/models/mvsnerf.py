@@ -160,6 +160,7 @@ class RendererMLP(nn.Module):
     def __call__(self, pts_enc, feat, viewdirs, use_pallas: bool = False):
         W = self.cfg.mlp_width
         if use_pallas:
+            from boostmvsnerfs_tpu.ops.pallas import pallas_interpret
             from boostmvsnerfs_tpu.ops.pallas.mlp import (
                 _param_list,
                 fused_renderer_mlp,
@@ -194,7 +195,7 @@ class RendererMLP(nn.Module):
             return fused_renderer_mlp(
                 params, pts_enc, feat, viewdirs,
                 depth=depth, skips=tuple(self.cfg.skips),
-                interpret=jax.default_backend() != "tpu",
+                interpret=pallas_interpret(),
             )
         h = pts_enc
         bias = nn.Dense(W, kernel_init=kaiming, name="pts_bias")(feat)
@@ -376,12 +377,18 @@ class MVSNeRF(nn.Module):
         Dp, hp, wp = volume.shape[1:4]
         vox_xyz = uvd * jnp.asarray([wp - 1, hp - 1, Dp - 1], jnp.float32)
         N_rays = ray_idx.shape[1]
+        from boostmvsnerfs_tpu.ops import pallas as pallas_ops
+
         use_pallas = (
             not train
             and self.cfg.eval_sampling == "pallas"
             and N_rays == H * W
+            # non-TPU backends take the XLA structured/gather fallback
+            # instead of Pallas interpret mode
+            and pallas_ops.pallas_supported()
         )
         if use_pallas:
+            from boostmvsnerfs_tpu.ops.pallas import pallas_interpret
             from boostmvsnerfs_tpu.ops.pallas.tri_sample import (
                 fused_tri_sample,
             )
@@ -395,7 +402,7 @@ class MVSNeRF(nn.Module):
                 c[..., 2].reshape(B, H * D, W),
                 window_h=cfg.pallas_vol_window_h,
                 window_z=cfg.pallas_vol_window_z,
-                interpret=jax.default_backend() != "tpu",
+                interpret=pallas_interpret(),
             )  # (B, H*D, W, 8)
             ray_feats = jnp.swapaxes(
                 ray_feats.reshape(B, H, D, W, -1), 2, 3
@@ -410,6 +417,7 @@ class MVSNeRF(nn.Module):
         pts = world_xyz.reshape(B, -1, 3)
         color_feats = []
         if use_pallas:
+            from boostmvsnerfs_tpu.ops.pallas import pallas_interpret
             from boostmvsnerfs_tpu.ops.pallas.img_sample import fused_row_sample
 
             # rows ordered (target row, sample index): the projected y-band
@@ -431,7 +439,7 @@ class MVSNeRF(nn.Module):
                 imgs, x_all, y_all,
                 window_h=self.cfg.pallas_img_window_h,
                 padding_mode="border",
-                interpret=jax.default_backend() != "tpu",
+                interpret=pallas_interpret(),
             )  # (B*V, H*D, W, 3)
             col = col.reshape(B, V, H, D, W, 3)
             col = jnp.swapaxes(col, 3, 4).reshape(B, V, H * W * D, 3)

@@ -85,6 +85,13 @@ def _sample_kernel(
         if padding_mode == "border":
             x = jnp.clip(x, 0.0, w_clip - 1)
             y = jnp.clip(y, 0.0, H - 1)
+        else:
+            # zeros mode: clamp to a narrow out-of-range band so the
+            # float->int32 window-origin conversion stays well-defined for
+            # behind-camera projections; taps beyond +-1 of any pixel carry
+            # zero triangle weight either way
+            x = jnp.clip(x, -2.0, w_clip + 1.0)
+            y = jnp.clip(y, -2.0, H + 1.0)
         y0 = jnp.floor(jnp.min(y)).astype(jnp.int32) - 1
         y0 = jnp.clip(y0, 0, max(y_hi, 0))
         return x, y, y0

@@ -83,8 +83,12 @@ def _warp_kernel(
             sy = p[1][0] * u + p[1][1] * vf + p[1][2] + p[1][3] * inv_d
             sz = p[2][0] * u + p[2][1] * vf + p[2][2] + p[2][3] * inv_d
             sz = jnp.maximum(sz, 1e-6)
-            x = sx / sz  # (1, Wt)
-            y = sy / sz
+            # clamp to a narrow out-of-range band: taps beyond +-1 of any
+            # pixel already carry zero triangle weight, and the clamp keeps
+            # the float->int32 conversion of behind-camera projections
+            # (~1e10 after the z-clamp) well-defined
+            x = jnp.clip(sx / sz, -2.0, Ws + 1.0)  # (1, Wt)
+            y = jnp.clip(sy / sz, -2.0, Hs + 1.0)
             y0 = jnp.floor(jnp.min(y)).astype(jnp.int32) - 1
             y0 = jnp.clip((y0 // align) * align, 0, max(inv_hi, 0))
             win = feats_ref[
@@ -118,6 +122,20 @@ def _warp_kernel(
         return _
 
     jax.lax.fori_loop(0, RB, row_body, 0)
+
+
+def warp_variance_fits(
+    S: int, Hs: int, Ws: int, C: int, compute_dtype=jnp.bfloat16
+) -> bool:
+    """Whether the full (S, Hs*C, Ws) source-feature stack fits the kernel's
+    resident-VMEM budget. Unlike img_sample's resident/DMA split this kernel
+    has no HBM band mode, so callers must route oversized geometries to the
+    XLA windowed path instead of failing to compile."""
+    feats_bytes = (
+        S * Hs * C * (-(-Ws // 128) * 128) * jnp.dtype(compute_dtype).itemsize
+    )
+    # ~12MB VMEM budget minus double-buffered out/depth blocks + temp slack
+    return feats_bytes <= 9 * 2**20
 
 
 @functools.partial(

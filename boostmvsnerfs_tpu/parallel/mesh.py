@@ -33,23 +33,28 @@ def make_mesh(
     return Mesh(use, ("data", "rays"))
 
 
-def batch_shardings(mesh: Mesh, batch: dict) -> dict:
-    """Per-leaf NamedShardings for a model batch.
+def batch_pspecs(keys) -> dict:
+    """Per-leaf PartitionSpecs for a model batch (by key name).
 
     Ray-indexed leaves (``ray_idx_*``, ``rgb_*``, ``msk_*``: shape (B, N, ...))
     shard over (data, rays); image/camera leaves shard over data only;
     static tables (``combos``) replicate.
     """
     out = {}
-    for k, v in batch.items():
+    for k in keys:
         if k.startswith(("ray_idx_", "rgb_", "msk_")):
-            spec = P("data", "rays")
+            out[k] = P("data", "rays")
         elif k == "combos":
-            spec = P()
+            out[k] = P()
         else:
-            spec = P("data")
-        out[k] = NamedSharding(mesh, spec)
+            out[k] = P("data")
     return out
+
+
+def batch_shardings(mesh: Mesh, batch: dict) -> dict:
+    """Per-leaf NamedShardings for a model batch (batch_pspecs rules)."""
+    specs = batch_pspecs(batch.keys())
+    return {k: NamedSharding(mesh, specs[k]) for k in batch}
 
 
 def replicated(mesh: Mesh) -> NamedSharding:

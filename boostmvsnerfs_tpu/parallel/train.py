@@ -19,7 +19,11 @@ import jax.numpy as jnp
 import optax
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
-from boostmvsnerfs_tpu.parallel.mesh import batch_shardings, replicated
+from boostmvsnerfs_tpu.parallel.mesh import (
+    batch_pspecs,
+    batch_shardings,
+    replicated,
+)
 from boostmvsnerfs_tpu.train.loss import enerf_loss
 
 
@@ -55,11 +59,21 @@ def make_train_step(
     perceptual_fn: Callable | None = None,
     image_hw: tuple | None = None,
 ) -> Callable:
-    """Build the jitted train step. With a mesh, in/out shardings pin the
-    state replicated and the batch sharded per parallel/mesh.py rules."""
+    """Build the jitted train step. With a mesh, jit in/out shardings pin
+    the train state replicated and sharding constraints pin the batch per
+    parallel/mesh.py rules — correctness no longer rides on device_put
+    placement alone (GSPMD still infers the interior partitioning)."""
     cas = model.cas
 
     def step_fn(state: TrainState, batch: dict):
+        if mesh is not None:
+            specs = batch_pspecs(batch.keys())
+            batch = {
+                k: jax.lax.with_sharding_constraint(
+                    v, NamedSharding(mesh, specs[k])
+                )
+                for k, v in batch.items()
+            }
         def loss_fn(params):
             out, mutated = model.apply(
                 {"params": params, "batch_stats": state.batch_stats},
@@ -86,7 +100,16 @@ def make_train_step(
         )
         return new_state, stats
 
-    return jax.jit(step_fn)
+    if mesh is None:
+        return jax.jit(step_fn)
+    rep = replicated(mesh)
+    return jax.jit(
+        step_fn,
+        # state (arg 0) and outputs pinned replicated; the batch arg is
+        # constrained inside step_fn (its keys are only known at call time)
+        in_shardings=(rep, None),
+        out_shardings=(rep, rep),
+    )
 
 
 def place(mesh: Mesh, state: TrainState, batch: dict):

@@ -45,9 +45,12 @@ def test_structured_eval_matches_gather():
     )
 
 
-def test_pallas_eval_matches_gather():
+def test_pallas_eval_matches_gather(monkeypatch):
     """warp_mode=pallas + eval_sampling=pallas (fused VMEM kernels, f32,
-    interpret on CPU) must match the gather reference end to end."""
+    interpret on CPU) must match the gather reference end to end. The
+    model routes non-TPU backends to the windowed fallback by default, so
+    force the kernel path to keep it covered."""
+    monkeypatch.setenv("BOOST_PALLAS_FORCE", "1")
     rng = np.random.default_rng(22)
     batch = {k: jnp.asarray(v) for k, v in make_batch(rng, full_image=True).items()}
 

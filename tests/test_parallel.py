@@ -67,6 +67,72 @@ def test_train_step_decreases_loss(setup):
     assert int(state.step) == 3
 
 
+@pytest.fixture(scope="module")
+def boost_setup():
+    """Flagship model: BoostENeRF with K=4 fused cost volumes, 6 views."""
+    from boostmvsnerfs_tpu.models.boost_enerf import BoostENeRF
+    from boostmvsnerfs_tpu.utils.synthetic import make_scene_batch
+
+    np_batch = make_scene_batch(
+        B=1, n_views=6, H=32, W=64, boost=True, k_best=4,
+        with_targets=True, seed=11,
+    )
+    batch = {k: jnp.asarray(v) for k, v in np_batch.items()}
+    model = BoostENeRF(
+        cas=CascadeConfig(
+            volume_planes=(16, 8), num_samples=(8, 2), k_best=4,
+            warp_dtype="float32",
+        )
+    )
+    variables = model.init(jax.random.PRNGKey(0), batch, False)
+    return model, variables, batch
+
+
+def test_boost_sharded_eval_matches_single_device(boost_setup):
+    """The fused K=4 boost render sharded over the rays axis must equal the
+    single-device render (the paper-core model on a mesh, reference
+    lib/networks/boost_enerf/network.py:189-222)."""
+    model, variables, batch = boost_setup
+    eval_step = make_eval_step(model)
+    want = eval_step(variables, batch)
+
+    m = mesh_lib.make_mesh(devices=jax.devices("cpu"))
+    sharded = mesh_lib.shard_batch(m, batch)
+    got = eval_step(variables, sharded)
+    for k in ("rgb_level1", "depth_level1"):
+        np.testing.assert_allclose(
+            np.asarray(got[k]), np.asarray(want[k]),
+            rtol=1e-4, atol=1e-5, err_msg=k,
+        )
+
+
+def test_boost_train_step_mesh_matches_single_device(boost_setup):
+    """The mesh-pinned boost train step (make_train_step(mesh=...)) must
+    match the unsharded step: loss and updated params."""
+    model, _, batch = boost_setup
+    tx = make_optimizer({"lr": 5e-4, "optim": "adam", "eps": 1e-8}, ep_iter=100)
+    state = create_train_state(model, tx, batch)
+
+    ref_step = make_train_step(model, tx)
+    ref_state, ref_stats = ref_step(state, batch)
+
+    m = mesh_lib.make_mesh(n_data=1, n_rays=8, devices=jax.devices("cpu"))
+    state_s, batch_s = place(m, state, batch)
+    step = make_train_step(model, tx, mesh=m)
+    new_state, stats = step(state_s, batch_s)
+
+    np.testing.assert_allclose(
+        float(stats["loss"]), float(ref_stats["loss"]), rtol=1e-4
+    )
+    for a, b in zip(
+        jax.tree_util.tree_leaves(new_state.params),
+        jax.tree_util.tree_leaves(ref_state.params),
+    ):
+        np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), rtol=1e-3, atol=1e-6
+        )
+
+
 def test_train_step_sharded_runs(setup):
     model, _, batch = setup
     tx = make_optimizer({"lr": 5e-4, "optim": "adam", "eps": 1e-8}, ep_iter=100)
