@@ -38,6 +38,21 @@ def resize_area(img: np.ndarray, H: int, W: int) -> np.ndarray:
     return img[ys][:, xs]
 
 
+def resize_nearest(img: np.ndarray, H: int, W: int) -> np.ndarray:
+    """cv2 INTER_NEAREST semantics (sample at floor(dst * src/dst scale))."""
+    if img.shape[0] == H and img.shape[1] == W:
+        return img
+    if cv2 is not None:
+        return cv2.resize(img, (W, H), interpolation=cv2.INTER_NEAREST)
+    ys = np.minimum(
+        (np.arange(H) * img.shape[0] / H).astype(int), img.shape[0] - 1
+    )
+    xs = np.minimum(
+        (np.arange(W) * img.shape[1] / W).astype(int), img.shape[1] - 1
+    )
+    return img[ys][:, xs]
+
+
 class MultiViewDataset:
     """Base for Free / ScanNet / DTU / custom datasets.
 
@@ -75,24 +90,44 @@ class MultiViewDataset:
         return len(self.metas)
 
     def get_sample(
-        self, index: int, input_views_num: int | None = None, rng=None
+        self, index: int, input_views_num: int | None = None, rng=None,
+        size_hw: tuple | None = None,
     ) -> dict:
+        """Build one training/eval sample.
+
+        ``size_hw`` overrides the target image size for this sample (the
+        per-batch random resolution of the reference's ImageSizeBatchSampler,
+        lib/datasets/samplers.py:38-75): images resize to (h, w) and the
+        intrinsics rescale with them.
+        """
         rng = rng or np.random.default_rng()
         scene, tar_view, src_views = self.metas[index]
         src_views = self.jitter_src_views(src_views, input_views_num, rng)
         info = self.scene_infos[scene]
 
+        def with_size(img, ixt):
+            if size_hw is None:
+                return img, ixt
+            h0, w0 = img.shape[:2]
+            h, w = size_hw
+            ixt = ixt.copy()
+            ixt[0] *= w / w0
+            ixt[1] *= h / h0
+            return resize_area(img, h, w), ixt
+
         imgs, exts, ixts = [], [], []
         for v in src_views:
             img, orig = self.read_image(info, v, for_target=False)
-            imgs.append((img * 2.0 - 1.0).astype(np.float32))
             ixt, ext = self.camera(info, v, orig)
+            img, ixt = with_size(img, ixt)
+            imgs.append((img * 2.0 - 1.0).astype(np.float32))
             ixts.append(ixt)
             exts.append(ext)
         src_inps = np.stack(imgs)  # (S, H, W, 3) in [-1, 1]
 
         tar_img, orig = self.read_image(info, tar_view, for_target=True)
         tar_ixt, tar_ext = self.camera(info, tar_view, orig)
+        tar_img, tar_ixt = with_size(tar_img, tar_ixt)
         tar_msk = self.target_mask(info, tar_view, tar_img)
 
         sample = {

@@ -1,21 +1,27 @@
 """Batch iteration: shuffling, per-process sharding, view-count sampling.
 
-TPU-native replacement for the reference's torch samplers
-(lib/datasets/samplers.py):
+TPU-native replacement for the reference's torch samplers and multi-worker
+DataLoader (lib/datasets/samplers.py, lib/datasets/make_dataset.py:81-104):
 * categorical input-view-count resampling per batch (``EnerfBatchSampler``
   :9-35)
+* per-batch random target image size (``ImageSizeBatchSampler`` :38-75,
+  sizes rounded up to the next multiple of 32)
 * fixed-iteration epochs (``IterationBasedBatchSampler`` :78-100)
 * per-process index sharding with epoch-seeded shuffle
   (``DistributedSampler`` :103-159) — keyed on jax.process_index().
+* sample building fans out over a thread pool with bounded lookahead
+  (the reference's ``num_workers`` processes; image decode and numpy
+  resizes release the GIL) while batches are yielded strictly in order.
 
 Host-side numpy RNG drives every data decision (ray pixels, view counts,
-view jitter) so model computation stays deterministic.
+view jitter) so model computation stays deterministic; each batch draws
+from an independent deterministic stream so pool scheduling cannot
+reorder randomness.
 """
 
 from __future__ import annotations
 
-import threading
-import queue as queue_mod
+from concurrent.futures import ThreadPoolExecutor
 
 import numpy as np
 
@@ -35,7 +41,9 @@ class Loader:
         process_index: int = 0,
         seed: int = 0,
         drop_last: bool = True,
-        prefetch: int = 2,
+        prefetch: int = 4,
+        num_workers: int = 4,
+        image_size_meta: dict | None = None,
     ):
         self.dataset = dataset
         self.batch_size = batch_size
@@ -48,6 +56,9 @@ class Loader:
         self.seed = seed
         self.drop_last = drop_last
         self.prefetch = prefetch
+        self.num_workers = max(1, num_workers)
+        # {'strategy': 'range'|'origin', 'min_hw': [h,w], 'max_hw': [h,w]}
+        self.image_size_meta = image_size_meta
         self.epoch = 0
 
     def set_epoch(self, epoch: int):
@@ -97,29 +108,52 @@ class Loader:
             batches = out
         return batches
 
+    def _sample_hw(self, rng) -> tuple | None:
+        """Per-batch target size (reference ImageSizeBatchSampler
+        generate_height_width, lib/datasets/samplers.py:50-57: uniform in
+        [min, max] rounded up to the next multiple of 32)."""
+        meta = self.image_size_meta
+        if not meta or meta.get("strategy", "origin") == "origin":
+            return None
+        hmin, wmin = meta["min_hw"]
+        hmax, wmax = meta["max_hw"]
+        h = int(rng.integers(hmin, hmax + 1))
+        w = int(rng.integers(wmin, wmax + 1))
+        return (h | 31) + 1, (w | 31) + 1
+
     def __iter__(self):
-        rng = np.random.default_rng(self.seed * 7919 + self.epoch)
+        plan_rng = np.random.default_rng(self.seed * 7919 + self.epoch)
         batches = self._batch_indices()
 
-        def produce(q):
-            for b in batches:
-                if self.input_views_num is not None:
-                    vn = int(
-                        rng.choice(self.input_views_num, p=self.input_views_prob)
-                    )
-                else:
-                    vn = None
-                samples = [
-                    self.dataset.get_sample(int(i), vn, rng) for i in b
-                ]
-                q.put(collate(samples))
-            q.put(None)
+        # all per-batch random decisions are drawn up front, in order, so
+        # the pool's completion order cannot perturb the random stream
+        plan = []
+        for k, b in enumerate(batches):
+            vn = (
+                int(plan_rng.choice(self.input_views_num,
+                                    p=self.input_views_prob))
+                if self.input_views_num is not None
+                else None
+            )
+            hw = self._sample_hw(plan_rng)
+            plan.append((b, vn, hw, int(plan_rng.integers(0, 2**31))))
 
-        q: queue_mod.Queue = queue_mod.Queue(maxsize=self.prefetch)
-        t = threading.Thread(target=produce, args=(q,), daemon=True)
-        t.start()
-        while True:
-            item = q.get()
-            if item is None:
-                break
-            yield item
+        def build(entry):
+            b, vn, hw, sample_seed = entry
+            rng = np.random.default_rng(sample_seed)
+            samples = [
+                self.dataset.get_sample(int(i), vn, rng, size_hw=hw)
+                for i in b
+            ]
+            return collate(samples)
+
+        with ThreadPoolExecutor(max_workers=self.num_workers) as pool:
+            lookahead = self.num_workers + self.prefetch
+            futures = [pool.submit(build, e) for e in plan[:lookahead]]
+            nxt = len(futures)
+            for k in range(len(plan)):
+                out = futures[k].result()
+                if nxt < len(plan):
+                    futures.append(pool.submit(build, plan[nxt]))
+                    nxt += 1
+                yield out

@@ -12,7 +12,7 @@ import os
 
 import numpy as np
 
-from boostmvsnerfs_tpu.data.base import resize_area
+from boostmvsnerfs_tpu.data.base import resize_nearest
 from boostmvsnerfs_tpu.eval import metrics
 
 
@@ -22,6 +22,7 @@ class Evaluator:
         cas_cfg,
         eval_lpips: bool = False,
         lpips_fn=None,
+        lpips_key: str = "lpips",
         eval_depth: bool = False,
         eval_center: bool = False,
         save_result: bool = False,
@@ -29,6 +30,8 @@ class Evaluator:
     ):
         self.cas = cas_cfg
         self.lpips_fn = lpips_fn if eval_lpips else None
+        # 'lpips_uncalibrated' when running on fixture weights (no egress)
+        self.lpips_key = lpips_key
         self.eval_depth = eval_depth
         self.eval_center = eval_center
         self.save_result = save_result
@@ -103,7 +106,9 @@ class Evaluator:
         nerf_depth = np.asarray(output[f"depth_level{last}"])[b].reshape(h, w)
         mvs_depth = np.asarray(output[f"depth_mvs_level{last}"])[b]
         gt = np.asarray(batch["tar_dpt"])[b].reshape(h, w)
-        mvs_gt = resize_area(gt, *mvs_depth.shape)
+        # INTER_NEAREST matches the reference's MVS-depth GT downsample
+        # (reference lib/evaluators/enerf.py:95)
+        mvs_gt = resize_nearest(gt, *mvs_depth.shape)
         d = metrics.depth_metrics(nerf_depth, gt)
         m = metrics.depth_metrics(mvs_depth, mvs_gt)
         for k, v in d.items():
@@ -125,7 +130,7 @@ class Evaluator:
         ret = {"psnr": float(np.mean(self.psnrs)) if self.psnrs else float("nan"),
                "ssim": float(np.mean(self.ssims)) if self.ssims else float("nan")}
         if self.lpips:
-            ret["lpips"] = float(np.mean(self.lpips))
+            ret[self.lpips_key] = float(np.mean(self.lpips))
         print("=" * 30)
         for scene in self.scene_psnrs:
             line = "{} psnr: {:.2f} ssim: {:.3f}".format(
@@ -134,7 +139,9 @@ class Evaluator:
                 np.mean(self.scene_ssims[scene]),
             )
             if self.scene_lpips.get(scene):
-                line += " lpips: {:.3f}".format(np.mean(self.scene_lpips[scene]))
+                line += " {}: {:.3f}".format(
+                    self.lpips_key, np.mean(self.scene_lpips[scene])
+                )
             print(line)
         print("=" * 30)
         print(ret)

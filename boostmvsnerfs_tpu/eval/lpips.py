@@ -46,6 +46,29 @@ class LPIPS:
         return total
 
 
+def fixture_lpips(seed: int = 0) -> LPIPS:
+    """LPIPS with deterministic stand-in weights.
+
+    This container has no network egress, so the official torchvision VGG16
+    / lpips linear-head weights cannot be fetched; the fixture makes the
+    full LPIPS pipeline runnable and regression-testable out of the box.
+    Values are NOT comparable to published LPIPS numbers — the evaluator
+    reports them as ``lpips_uncalibrated``. Supply converted weights via
+    ``cfg.lpips_weights`` (see convert_lpips_weights) for calibrated values.
+    """
+    import jax
+
+    vgg = VGG16Features()
+    dummy = jnp.zeros((1, 32, 32, 3), jnp.float32)
+    vgg_vars = vgg.init(jax.random.PRNGKey(seed), dummy)
+    rng = np.random.default_rng(seed)
+    chans = (64, 128, 256, 512, 512)
+    # non-negative heads, scaled so per-layer terms are O(1) like the
+    # trained lpips heads
+    lins = [rng.uniform(0.0, 2.0 / c, (c,)).astype(np.float32) for c in chans]
+    return LPIPS(vgg_vars, lins)
+
+
 def load_lpips(vgg_npz: str, lin_npz: str) -> LPIPS:
     from boostmvsnerfs_tpu.eval.vgg import load_vgg_params
 

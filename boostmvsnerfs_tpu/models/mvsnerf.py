@@ -515,5 +515,10 @@ class MVSNeRF(nn.Module):
         raw_out = self.render_volume(
             sub, volume, batch["ray_idx_0"], near, far, train, with_mask=False
         )
-        out = render.composite(raw_out["net_output"], raw_out["z_vals"])
+        # MVSNeRF depth map semantics: unnormalized sum(weights * z)
+        # (reference lib/networks/mvsnerf/renderer.py:85-88), unlike the
+        # ENeRF head's softmax-normalized depth
+        out = render.composite(
+            raw_out["net_output"], raw_out["z_vals"], softmax_depth=False
+        )
         return {f"{k}_level0": v for k, v in out.items()}

@@ -108,11 +108,15 @@ def sample_along_depth(
 def composite(
     raw: jnp.ndarray,  # (B, N, S, 4) rgb + sigma-like alpha input
     z_vals: jnp.ndarray | None,  # (B, N, S)
+    softmax_depth: bool = True,
 ) -> dict:
     """Alpha compositing (reference lib/networks/enerf/utils.py:605-637).
 
-    alpha = 1 - exp(-raw[...,3]); weights via exclusive transmittance cumprod;
-    the depth map uses softmax-normalized weights, matching the reference.
+    alpha = 1 - exp(-raw[...,3]); weights via exclusive transmittance cumprod.
+    The ENeRF reference softmax-normalizes the weights for its depth map
+    (utils.py:628-629); the MVSNeRF backbone instead uses the raw
+    ``sum(weights * z)`` (reference lib/networks/mvsnerf/renderer.py:85-88) —
+    selected with ``softmax_depth``.
     """
     alpha = 1.0 - jnp.exp(-raw[..., 3])
     T = jnp.cumprod(1.0 - alpha + 1e-10, axis=-1)
@@ -121,7 +125,7 @@ def composite(
     rgb = jnp.sum(weights[..., None] * raw[..., :3], axis=-2)
     out = {"rgb": rgb, "weights": weights}
     if z_vals is not None:
-        w = jax.nn.softmax(weights, axis=-1)
+        w = jax.nn.softmax(weights, axis=-1) if softmax_depth else weights
         out["depth"] = jnp.sum(w * jax.lax.stop_gradient(z_vals), axis=-1)
     return out
 

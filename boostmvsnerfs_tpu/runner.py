@@ -91,21 +91,12 @@ def view_selection_path(cfg) -> str:
     return os.path.join(cfg["result_dir"], "view_selection.json")
 
 
-def run_view_selection(cfg, model, variables, loaders) -> dict:
-    """Greedy per-target-view combo selection over train+test loaders,
-    cached to view_selection.json (reference run.py:39-69 +
-    boost_enerf/network.py:97-121)."""
-    n_views = int(cfg["enerf"]["test_input_views"])
-    n_input = int(cfg["enerf"].get("cost_volume_input_views", 3))
-    k = int(cfg["enerf"]["cas_config"]["k_best"])
-    combos = view_combinations(n_views, n_input)
-    combos_j = jnp.asarray(combos)
-
-    # jit ONE combo's coverage cascade; the combo ids are a traced input so
-    # all C(N,3) combos reuse a single compiled program (jitting
-    # forward_view_selection whole would unroll 20 cascades into one
-    # monolithic program — pathological for the remote compiler). For
-    # ENeRF-family models the cascade itself runs through the staged jits.
+def make_mask_fn(cfg, model):
+    """jit ONE combo's coverage cascade; the combo ids are a traced input so
+    all C(N,3) combos reuse a single compiled program (jitting
+    forward_view_selection whole would unroll 20 cascades into one
+    monolithic program — pathological for the remote compiler). For
+    ENeRF-family models the cascade itself runs through the staged jits."""
     from boostmvsnerfs_tpu.models.enerf import ENeRF as _ENeRF
 
     if isinstance(model, _ENeRF) and cfg.get("execution", "staged") == "staged":
@@ -115,12 +106,45 @@ def run_view_selection(cfg, model, variables, loaders) -> dict:
 
         def mask_fn(v, b, c):
             return staged.coverage_mask(v, b, c)
-    else:
-        mask_fn = jax.jit(
-            lambda v, b, c: model.apply(
-                v, b, c, method=type(model).combo_coverage_mask
-            )
+
+        return mask_fn
+    return jax.jit(
+        lambda v, b, c: model.apply(
+            v, b, c, method=type(model).combo_coverage_mask
         )
+    )
+
+
+def greedy_select(mask_fn, variables, batch, combos_j, k: int) -> np.ndarray:
+    """Greedy coverage selection for one batch: (B, k) combo ids, padded
+    with repeats to exactly k entries (static shapes downstream)."""
+    masks = np.stack(
+        [
+            np.asarray(host_sync(mask_fn(variables, batch, combos_j[c])))
+            for c in range(combos_j.shape[0])
+        ]
+    )  # (n_combos, B, H, W)
+    out = []
+    for b in range(masks.shape[1]):
+        picks = search_k_best(masks[:, b], k)
+        while len(picks) < k:
+            picks.append(picks[-1])
+        out.append(picks)
+    return np.asarray(out, np.int32)
+
+
+def run_view_selection(cfg, model, variables, loaders) -> dict:
+    """Greedy per-target-view combo selection over train+test loaders,
+    cached to view_selection.json (reference run.py:39-69 +
+    boost_enerf/network.py:97-121)."""
+    n_input = int(cfg["enerf"].get("cost_volume_input_views", 3))
+    k = int(cfg["enerf"]["cas_config"]["k_best"])
+    mask_fn = make_mask_fn(cfg, model)
+
+    # combo tables are built per batch view count: train loaders can carry
+    # fewer source views than test_input_views (the reference likewise
+    # derives combinations from the batch, boost_enerf/network.py:99)
+    combo_cache: dict[int, jnp.ndarray] = {}
 
     results = {}
     for loader in loaders:
@@ -128,20 +152,17 @@ def run_view_selection(cfg, model, variables, loaders) -> dict:
             batch = {
                 k: jnp.asarray(v) for k, v in np_batch.items() if k != "meta"
             }
-            masks = np.stack(
-                [
-                    np.asarray(host_sync(mask_fn(variables, batch, combos_j[c])))
-                    for c in range(len(combos))
-                ]
+            n_views = int(np_batch["all_src_inps"].shape[1])
+            if n_views not in combo_cache:
+                combo_cache[n_views] = jnp.asarray(
+                    view_combinations(n_views, n_input)
+                )
+            picks = greedy_select(
+                mask_fn, variables, batch, combo_cache[n_views], k
             )
-            # (n_combos, B, H, W)
             for b, meta in enumerate(np_batch["meta"]):
                 key = f"{meta['scene']}_{meta['tar_view']}"
-                picks = search_k_best(masks[:, b], k)
-                # pad with repeats to exactly k entries (static shapes)
-                while len(picks) < k:
-                    picks.append(picks[-1])
-                results[key] = picks
+                results[key] = [int(i) for i in picks[b]]
     os.makedirs(cfg["result_dir"], exist_ok=True)
     with open(view_selection_path(cfg), "w") as f:
         json.dump(results, f)
@@ -154,14 +175,23 @@ def load_view_selection(cfg) -> dict:
 
 
 def attach_boost_inputs(np_batch, view_selection, cfg):
-    """Add combos table + per-sample k_best ids to a batch."""
+    """Add combos table + per-sample k_best ids to a batch.
+
+    Cached selections can reference a larger combo table than this batch's
+    (train loaders may carry fewer source views than the view-selection
+    pass saw, e.g. under the view-count sampler); out-of-range ids clamp
+    into this batch's table rather than indexing out of bounds.
+    """
     n_views = np_batch["all_src_inps"].shape[1]
     n_input = int(cfg["enerf"].get("cost_volume_input_views", 3))
-    np_batch["combos"] = view_combinations(n_views, n_input)
+    combos = view_combinations(n_views, n_input)
+    np_batch["combos"] = combos
     k_best = [
         view_selection[f"{m['scene']}_{m['tar_view']}"] for m in np_batch["meta"]
     ]
-    np_batch["k_best"] = np.asarray(k_best, np.int32)
+    np_batch["k_best"] = np.minimum(
+        np.asarray(k_best, np.int32), len(combos) - 1
+    )
     return np_batch
 
 
@@ -197,10 +227,12 @@ def run_evaluate(cfg, model=None, variables=None):
     if variables is None:
         variables = _init_or_load(cfg, model, dataset, boost)
 
+    lpips_fn, lpips_key = _load_lpips(cfg)
     evaluator = Evaluator(
         cas,
-        eval_lpips=bool(cfg.get("eval_lpips", False)) and _lpips_available(cfg),
-        lpips_fn=_load_lpips(cfg),
+        eval_lpips=bool(cfg.get("eval_lpips", False)),
+        lpips_fn=lpips_fn,
+        lpips_key=lpips_key,
         eval_depth=bool(cfg["enerf"].get("eval_depth", False)),
         eval_center=bool(cfg["enerf"].get("eval_center", False)),
         save_result=bool(cfg.get("save_result", False)),
@@ -268,13 +300,25 @@ def _lpips_available(cfg) -> bool:
 
 
 def _load_lpips(cfg):
-    if not _lpips_available(cfg):
-        return None
-    from boostmvsnerfs_tpu.eval.lpips import load_lpips
+    """LPIPS metric fn + report key.
 
-    w = cfg["lpips_weights"]
-    lp = load_lpips(w["vgg"], w["lin"])
-    return jax.jit(lp.__call__)
+    With converted official weights (cfg.lpips_weights) the metric is the
+    calibrated LPIPS of the reference evaluator
+    (lib/evaluators/enerf.py:25,81-87). Without them (this container has no
+    egress) the full pipeline still runs on deterministic fixture weights,
+    reported as 'lpips_uncalibrated' so the numbers are never mistaken for
+    published LPIPS.
+    """
+    if not cfg.get("eval_lpips", False):
+        return None, "lpips"
+    if _lpips_available(cfg):
+        from boostmvsnerfs_tpu.eval.lpips import load_lpips
+
+        w = cfg["lpips_weights"]
+        return jax.jit(load_lpips(w["vgg"], w["lin"]).__call__), "lpips"
+    from boostmvsnerfs_tpu.eval.lpips import fixture_lpips
+
+    return jax.jit(fixture_lpips().__call__), "lpips_uncalibrated"
 
 
 def _init_or_load(cfg, model, dataset, boost):
@@ -336,6 +380,10 @@ def render_novel_path(cfg, n_frames: int = 60, path_type: str = "interpolate"):
     H = base_sample["src_inps"].shape[1]
     W = base_sample["src_inps"].shape[2]
 
+    mask_fn = None
+    if boost:
+        mask_fn = make_mask_fn(cfg, model)
+
     for fi, c2w in enumerate(path):
         order = nearest_src_views(c2ws, c2w, n_views, exclude_self=False)
         # reuse dataset plumbing: craft a meta on the fly
@@ -349,11 +397,18 @@ def render_novel_path(cfg, n_frames: int = 60, path_type: str = "interpolate"):
             combos = view_combinations(n_views, int(
                 cfg["enerf"].get("cost_volume_input_views", 3)))
             np_batch["combos"] = combos
-            # novel path frames have no cached selection; fuse the first K
-            # combos of the nearest-view ordering (a greedy per-frame
-            # selection can be enabled via --type preprocess on the path)
+            # novel path frames have no cached selection: run the greedy
+            # coverage selection per frame with the same compiled combo
+            # cascade as the offline preprocess (the paper's view selection,
+            # reference lib/networks/boost_enerf/network.py:71-95)
             k = int(cfg["enerf"]["cas_config"]["k_best"])
-            np_batch["k_best"] = np.arange(k, dtype=np.int32)[None] % len(combos)
+            dev_sel = {
+                k2: jnp.asarray(v) for k2, v in np_batch.items()
+                if k2 != "meta"
+            }
+            np_batch["k_best"] = greedy_select(
+                mask_fn, variables, dev_sel, jnp.asarray(combos), k
+            )
         dev = {k: jnp.asarray(v) for k, v in np_batch.items() if k != "meta"}
         out = host_sync(fwd(variables, dev))
         np_batch["meta"][0].update({"scene": scene, "tar_view": fi})
@@ -394,6 +449,14 @@ def run_train(cfg):
         input_views_prob=sampler_meta.get("input_views_prob"),
         num_processes=jax.process_count(),
         process_index=jax.process_index(),
+        num_workers=int(cfg["train"].get("num_workers", 4)),
+        # per-batch random target resolution (reference 'image_size'
+        # batch sampler, lib/datasets/samplers.py:38-75)
+        image_size_meta=(
+            dict(sampler_meta)
+            if cfg["train"].get("batch_sampler") == "image_size"
+            else None
+        ),
     )
     ep_iter = len(loader)
     tx = make_optimizer(cfg["train"], ep_iter)

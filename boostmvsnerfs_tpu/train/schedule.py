@@ -44,6 +44,33 @@ def make_lr_schedule(train_cfg: dict, ep_iter: int):
             return base * gamma**passed
 
         return schedule
+    if stype == "warmup_multi_step":
+        # reference lib/utils/optimizer/lr_scheduler.py:7-50
+        # WarmupMultiStepLR: linear (or constant) warmup over warmup_iters
+        # epochs into multi-step decay (bisect_right milestones semantics:
+        # the decay applies from the milestone epoch onward)
+        milestones = list(sched.get("milestones", []))
+        warmup_factor = float(sched.get("warmup_factor", 1.0 / 3))
+        warmup_iters = int(sched.get("warmup_iters", 5))
+        warmup_method = sched.get("warmup_method", "linear")
+        if warmup_method not in ("constant", "linear"):
+            raise ValueError(f"unknown warmup_method: {warmup_method}")
+
+        def schedule(step):
+            import jax.numpy as jnp
+
+            epoch = step // max(ep_iter, 1)
+            if warmup_method == "constant":
+                wf = jnp.where(epoch < warmup_iters, warmup_factor, 1.0)
+            else:
+                alpha = jnp.minimum(epoch / max(warmup_iters, 1), 1.0)
+                wf = warmup_factor * (1.0 - alpha) + alpha
+            passed = sum(
+                jnp.asarray(epoch >= m, jnp.float32) for m in milestones
+            )
+            return base * wf * gamma**passed
+
+        return schedule
     raise ValueError(f"unknown scheduler type: {stype}")
 
 
@@ -58,6 +85,14 @@ def make_optimizer(train_cfg: dict, ep_iter: int) -> optax.GradientTransformatio
             if wd > 0
             else optax.adam(schedule, eps=eps)
         )
+    elif opt_name == "radam":
+        # rectified Adam (reference lib/utils/optimizer/radam.py; threshold
+        # rho >= 5 with SGD degeneration below, matching
+        # degenerated_to_sgd=True); weight decay is the reference's
+        # uncoupled lr*wd*param term via optax.add_decayed_weights
+        base = optax.radam(schedule, eps=eps, threshold=5.0)
+        if wd > 0:
+            base = optax.chain(optax.add_decayed_weights(wd), base)
     elif opt_name == "sgd":
         base = optax.sgd(schedule, momentum=0.9)
     else:

@@ -19,7 +19,10 @@ Prints ONE JSON line:
 import argparse
 import json
 import os
+import sys
 import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 # virtual multi-device CPU mesh must be requested before jax initializes
 if os.environ.get("JAX_PLATFORMS", "") == "cpu":
@@ -32,6 +35,11 @@ if os.environ.get("JAX_PLATFORMS", "") == "cpu":
 import jax  # noqa: E402
 import jax.numpy as jnp  # noqa: E402
 import numpy as np  # noqa: E402
+
+# the site-installed TPU plugin overrides the JAX_PLATFORMS env var; the
+# platform must be forced via jax.config before backend initialization
+if os.environ.get("JAX_PLATFORMS", "") == "cpu":
+    jax.config.update("jax_platforms", "cpu")
 
 
 def _sync(out):

@@ -125,6 +125,63 @@ def test_loader_view_count_sampling(free_root):
     assert counts <= {2, 3} and len(counts) == 2
 
 
+def test_loader_pool_order_and_determinism(free_root):
+    """The thread-pool loader yields batches strictly in plan order with a
+    deterministic random stream regardless of worker count."""
+    ds = FreeDataset(
+        free_root, "train", CAS, input_h_w=(H_IMG, W_IMG), scenes=["grass"],
+        n_train_views=4,
+    )
+
+    def run(workers):
+        loader = Loader(
+            ds, batch_size=1, shuffle=True, seed=5, num_workers=workers,
+            input_views_num=[2, 3], input_views_prob=[0.5, 0.5],
+        )
+        return list(loader)
+
+    a, b = run(1), run(4)
+    assert len(a) == len(b)
+    for x, y in zip(a, b):
+        assert x["src_inps"].shape == y["src_inps"].shape
+        np.testing.assert_array_equal(x["ray_idx_0"], y["ray_idx_0"])
+        np.testing.assert_allclose(x["src_inps"], y["src_inps"])
+
+
+def test_loader_image_size_sampling(free_root):
+    """Per-batch random target resolution (ImageSizeBatchSampler semantics:
+    sizes rounded up to the next multiple of 32, intrinsics rescaled)."""
+    ds = FreeDataset(free_root, "train", CAS, input_h_w=(H_IMG, W_IMG), scenes=["grass"])
+    loader = Loader(
+        ds, batch_size=1, seed=1,
+        image_size_meta={"strategy": "range", "min_hw": [40, 70],
+                         "max_hw": [90, 120]},
+    )
+    sizes = set()
+    base = ds.get_sample(0)
+    for batch in loader:
+        h, w = batch["src_inps"].shape[2], batch["src_inps"].shape[3]
+        assert h % 32 == 0 and w % 32 == 0
+        assert 64 <= h <= 128 and 96 <= w <= 160
+        sizes.add((h, w))
+        # intrinsics rescale with the resize
+        s = batch["src_inps"].shape[3] / base["src_inps"].shape[2]
+        np.testing.assert_allclose(
+            batch["src_ixts"][0, 0, 0, 0],
+            base["src_ixts"][0][0, 0] * s, rtol=1e-5,
+        )
+        # ray grids follow the sampled size
+        assert batch["ray_idx_1"].shape[1] == h * w
+    # 'origin' strategy keeps the dataset size
+    loader0 = Loader(
+        ds, batch_size=1,
+        image_size_meta={"strategy": "origin", "min_hw": [40, 70],
+                         "max_hw": [90, 120]},
+    )
+    b0 = next(iter(loader0))
+    assert b0["src_inps"].shape[2:4] == (H_IMG, W_IMG)
+
+
 def test_pfm_roundtrip(tmp_path):
     data = np.random.default_rng(0).standard_normal((8, 10)).astype(np.float32)
     p = str(tmp_path / "d.pfm")

@@ -90,11 +90,22 @@ def test_evaluate_base_enerf(workspace, tmp_path):
 def test_evaluate_boost_with_view_selection(workspace, tmp_path):
     cfg_path = str(tmp_path / "cfg.yaml")
     _write_cfg(cfg_path, workspace, boost=True)
+    import yaml as _yaml
+
+    with open(cfg_path) as f:
+        d = _yaml.safe_load(f)
+    d["eval_lpips"] = True  # runs on fixture weights -> uncalibrated key
+    with open(cfg_path, "w") as f:
+        _yaml.safe_dump(d, f)
     cfg = make_cfg(cfg_path)
     from boostmvsnerfs_tpu.runner import run_evaluate, view_selection_path
 
     ret = run_evaluate(cfg)
     assert np.isfinite(ret["psnr"])
+    # LPIPS runs without special setup; fixture weights are reported under
+    # an explicit uncalibrated key, never as 'lpips'
+    assert np.isfinite(ret["lpips_uncalibrated"])
+    assert "lpips" not in ret
     assert os.path.exists(view_selection_path(cfg))
     import json
 
@@ -121,6 +132,56 @@ def test_train_smoke(workspace, tmp_path):
 
     mgr = CheckpointManager(cfg.trained_model_dir)
     assert mgr.latest_path() is not None
+
+
+def test_train_boost_with_view_subsampling(workspace, tmp_path):
+    """Boost training end to end: the view-selection pass runs over train
+    loaders, and train batches carry FEWER source views than the selection
+    saw (view-count sampler) — cached combo ids must clamp into the batch's
+    smaller combo table instead of indexing out of range."""
+    cfg_path = str(tmp_path / "cfg.yaml")
+    _write_cfg(cfg_path, workspace, boost=True)
+    import yaml as _yaml
+
+    with open(cfg_path) as f:
+        d = _yaml.safe_load(f)
+    d["exp_name"] = "boost_train_smoke"
+    d["task"] = "train"
+    # every train batch subsamples to 3 source views -> C(3,3)=1 combo,
+    # while view selection over the full 4-view loaders has C(4,3)=4
+    d["train"]["sampler_meta"] = {
+        "input_views_num": [3], "input_views_prob": [1.0]
+    }
+    with open(cfg_path, "w") as f:
+        _yaml.safe_dump(d, f)
+    cfg = make_cfg(cfg_path)
+    from boostmvsnerfs_tpu.config import finalize_cfg
+
+    finalize_cfg(cfg)
+    from boostmvsnerfs_tpu.runner import run_train
+
+    state = run_train(cfg)
+    assert int(np.asarray(state.step)) == 2
+
+
+def test_render_novel_path_boost_greedy(workspace, tmp_path):
+    """Novel-path frames run the greedy coverage selection per frame (not a
+    first-K placeholder)."""
+    cfg_path = str(tmp_path / "cfg.yaml")
+    _write_cfg(cfg_path, workspace, boost=True)
+    cfg = make_cfg(cfg_path)
+    cfg.exp_name = "boost_path_smoke"
+    cfg.write_video = False
+    from boostmvsnerfs_tpu.config import finalize_cfg
+
+    finalize_cfg(cfg)
+    from boostmvsnerfs_tpu.runner import render_novel_path
+
+    render_novel_path(cfg, n_frames=1)
+    import glob
+
+    pngs = glob.glob(os.path.join(cfg.result_dir, "color_*.png"))
+    assert len(pngs) == 1
 
 
 def test_evaluate_mvsnerf(workspace, tmp_path):
