@@ -208,24 +208,43 @@ class ENeRF(nn.Module):
         _, Sf, Hf_, Wf_, Cf = feats[f"level_{level}"].shape
         use_pallas = (
             cas.warp_mode == "pallas"
-            and not train
             # non-TPU backends fall back to the XLA windowed path instead
             # of Pallas interpret mode (orders of magnitude slower)
             and pallas_ops.pallas_supported()
             # oversized source stacks (no HBM band mode in this kernel)
             # fall back too rather than failing to compile
-            and pallas_ops.warp_variance_fits(Sf, Hf_, Wf_, Cf, cas.warp_dtype)
+            and pallas_ops.warp_variance_fits(
+                Sf, Hf_, Wf_, Cf, "float32" if train else cas.warp_dtype
+            )
+            # training additionally needs the per-view backward kernel's
+            # float32 feature planes + gradient accumulator to fit VMEM
+            and (
+                not train
+                or pallas_ops.warp_variance_bwd_fits(Sf, Hf_, Wf_, Cf)
+            )
         )
         if use_pallas:
             dv_metric = dv  # kernel warps at metric depth (dv is metric)
-            vol = pallas_ops.fused_warp_variance(
-                feats[f"level_{level}"],
-                pm,
-                dv_metric,
-                window_h=cas.pallas_window_h[level],
-                compute_dtype=jnp.dtype(cas.warp_dtype),
-                interpret=pallas_ops.pallas_interpret(),
-            )
+            if train:
+                # custom-VJP wrapper: Pallas forward AND backward, float32
+                # (training interpolation matmuls stay f32 per the AMP policy)
+                vol = pallas_ops.fused_warp_variance_diff(
+                    feats[f"level_{level}"],
+                    pm,
+                    dv_metric,
+                    cas.pallas_window_h[level],
+                    jnp.float32,
+                    pallas_ops.pallas_interpret(),
+                )
+            else:
+                vol = pallas_ops.fused_warp_variance(
+                    feats[f"level_{level}"],
+                    pm,
+                    dv_metric,
+                    window_h=cas.pallas_window_h[level],
+                    compute_dtype=jnp.dtype(cas.warp_dtype),
+                    interpret=pallas_ops.pallas_interpret(),
+                )
         elif cas.warp_mode in ("windowed", "pallas"):
             cols = cas.warp_cols_per_tile[level]
             win_w = cas.warp_window_w[level] if cols else 0
@@ -279,9 +298,12 @@ class ENeRF(nn.Module):
 
         N = ray_idx.shape[1]
         structured = (
-            not train
-            and cas.eval_sampling in ("structured", "pallas")
+            cas.eval_sampling in ("structured", "pallas")
             and N == H_r * W_r
+            # under training only when this level trains on full images —
+            # then ray_idx is the raster arange by construction
+            # (data/base.py); random-ray training keeps the gather path
+            and (not train or cas.train_img[level])
         )
 
         bounds_map = render.ray_bounds_maps(depth, std, nf_map, H_r, W_r, inv)
@@ -338,6 +360,7 @@ class ENeRF(nn.Module):
             cols_per_tile=cas.img_cols_per_tile[level],
             window_w=cas.img_window_w[level],
             pallas_window_h=cas.pallas_img_window_h[level],
+            train=train,
         )  # (B, N, Ns, S, C+3+4)
 
         raw = self.nerf_heads[level](
@@ -364,7 +387,7 @@ class ENeRF(nn.Module):
         self, world_xyz, img_feat_rgb, batch, render_scale: float,
         window_h: int | None = None, raster_hw: tuple | None = None,
         cols_per_tile: int = 0, window_w: int = 0,
-        pallas_window_h: int = 16,
+        pallas_window_h: int = 16, train: bool = False,
     ) -> jnp.ndarray:
         """Project samples into every source view and gather features + RGB +
         ray-difference descriptors (reference lib/networks/enerf/utils.py:753-786).
@@ -386,6 +409,9 @@ class ENeRF(nn.Module):
             raster_hw is not None
             and self.cas.eval_sampling == "pallas"
             and pallas_ops.pallas_supported()
+            # the fused row sampler has no VJP yet: full-image training
+            # takes the windowed XLA path (autodiff through dynamic slices)
+            and not train
         )
         pallas_feats = None
         if use_pallas:
@@ -435,7 +461,8 @@ class ENeRF(nn.Module):
                 feat = jax.vmap(
                     lambda img, c: sampling.windowed_sample_tiles(
                         img, c, window_h, w_win, "border",
-                        compute_dtype=self.cas._warp_dt(),
+                        # training interpolation matmuls stay float32
+                        compute_dtype=None if train else self.cas._warp_dt(),
                         tiles_per_step=nx,
                     )
                 )(img_feat_rgb[:, s], tiles).reshape(B, N * Ns, -1)

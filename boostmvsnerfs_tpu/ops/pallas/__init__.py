@@ -6,6 +6,8 @@ import jax
 
 from boostmvsnerfs_tpu.ops.pallas.warp_variance import (  # noqa: F401
     fused_warp_variance,
+    fused_warp_variance_diff,
+    warp_variance_bwd_fits,
     warp_variance_fits,
 )
 

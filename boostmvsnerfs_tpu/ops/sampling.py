@@ -366,12 +366,22 @@ def plane_resample_z(
     D, Hv, Wv, C = vol.shape
     H_out, W_out, S = z.shape
     planes = resize_bilinear(vol, H_out, W_out)  # (D, H_out, W_out, C)
-    # triangle weights over the (small) z axis: the two bilinear taps fall
-    # out naturally and out-of-range z contributes zeros (= zeros padding).
+    # floor-based lerp weights over the (small) z axis: plane d receives
+    # (1-frac) as the floor tap and frac as the ceil tap; out-of-range z
+    # contributes zeros (= zeros padding). Forward-equal to triangle weights
+    # relu(1-|z-d|), but the *subgradient at exact-integer z* matches the
+    # floor-based grid_sample_3d / torch grid_sample backward (d/dz = -v[D-1]
+    # at z = D-1, where the ceil tap is out of bounds) — full-image training
+    # places samples exactly on the boundary planes, so this convention is
+    # load-bearing for gradient parity (tests/test_enerf_structured.py).
     # Unrolled elementwise accumulation — the per-pixel (S, D) x (D, C)
     # einsum lowers to tiny matmuls that crawl on the TPU VPU.
+    z0 = jnp.floor(z)
+    tz = z - z0
     out = jnp.zeros((H_out, W_out, S, C), vol.dtype)
     for d in range(D):
-        w = jnp.maximum(0.0, 1.0 - jnp.abs(z - d))  # (H, W, S)
+        w = jnp.where(z0 == d, 1.0 - tz, 0.0) + jnp.where(
+            z0 == d - 1, tz, 0.0
+        )  # (H, W, S)
         out = out + w[..., None] * planes[d][:, :, None, :]
     return out

@@ -117,12 +117,18 @@ def make_mask_fn(cfg, model):
 
 def greedy_select(mask_fn, variables, batch, combos_j, k: int) -> np.ndarray:
     """Greedy coverage selection for one batch: (B, k) combo ids, padded
-    with repeats to exactly k entries (static shapes downstream)."""
+    with repeats to exactly k entries (static shapes downstream).
+
+    All combo mask renders are dispatched asynchronously before the single
+    host sync: JAX queues the device work, so host dispatch latency overlaps
+    with compute instead of paying one device round-trip per combo
+    (C(6,3) = 20 per target view)."""
+    pending = [
+        mask_fn(variables, batch, combos_j[c])
+        for c in range(combos_j.shape[0])
+    ]
     masks = np.stack(
-        [
-            np.asarray(host_sync(mask_fn(variables, batch, combos_j[c])))
-            for c in range(combos_j.shape[0])
-        ]
+        [np.asarray(m) for m in map(host_sync, pending)]
     )  # (n_combos, B, H, W)
     out = []
     for b in range(masks.shape[1]):

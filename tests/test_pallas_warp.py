@@ -8,6 +8,8 @@ import pytest
 from boostmvsnerfs_tpu.ops import cost_volume
 from boostmvsnerfs_tpu.ops.pallas.warp_variance import (
     fused_warp_variance,
+    fused_warp_variance_diff,
+    warp_variance_bwd_fits,
     warp_variance_coverage,
 )
 from tests.test_windowed_warp import _setup
@@ -54,6 +56,49 @@ def test_fused_bf16_close(rng):
     err = np.abs(np.asarray(got) - np.asarray(want))
     scale = np.abs(np.asarray(want)).mean() + 1e-3
     assert err.mean() / scale < 0.05
+
+
+def test_fused_vjp_matches_windowed_grads(rng):
+    """The custom-VJP (Pallas forward + Pallas backward) must match the
+    gradients of the XLA windowed path w.r.t. both the source features and
+    the depth hypotheses (the reference detaches only near_far, so depth
+    gradients flow through the warp — lib/networks/enerf/utils.py:150)."""
+    feats, pms, dv = _batched_setup(rng)
+    # spatially-varying depth so the depth cotangent is non-trivial
+    dv = dv * (1.0 + 0.01 * jnp.sin(jnp.arange(dv.size).reshape(dv.shape)))
+    assert warp_variance_bwd_fits(*feats.shape[1:])
+    ct = jnp.asarray(
+        np.random.default_rng(5).standard_normal(
+            (1,) + dv.shape[1:] + (feats.shape[-1],)
+        ).astype(np.float32)
+    )
+
+    def loss_ref(f, d):
+        v = jax.vmap(
+            lambda a, b, c: cost_volume.variance_volume_windowed(
+                a, b, c, window_h=32, window_w=48
+            )
+        )(f, pms, d)
+        return jnp.sum(v * ct)
+
+    def loss_pl(f, d):
+        v = fused_warp_variance_diff(f, pms, d, 32, jnp.float32, INTERPRET)
+        return jnp.sum(v * ct)
+
+    np.testing.assert_allclose(
+        float(loss_pl(feats, dv)), float(loss_ref(feats, dv)), rtol=1e-4
+    )
+    g_ref = jax.grad(loss_ref, argnums=(0, 1))(feats, dv)
+    g_pl = jax.grad(loss_pl, argnums=(0, 1))(feats, dv)
+    for a, b, name in [
+        (g_ref[0], g_pl[0], "d_src_feats"),
+        (g_ref[1], g_pl[1], "d_depth_values"),
+    ]:
+        a, b = np.asarray(a), np.asarray(b)
+        scale = np.abs(a).max() + 1e-6
+        np.testing.assert_allclose(
+            b / scale, a / scale, atol=2e-5, err_msg=name
+        )
 
 
 def test_fused_handles_out_of_image(rng):

@@ -73,3 +73,34 @@ def test_column_tiled_coverage_zero(rng):
         feat.shape, pm, dv, 48, 64, rows_per_tile=4, cols_per_tile=6
     )
     assert float(miss) == 0.0
+
+
+def test_windowed_variance_grads_match_gather(rng):
+    """Autodiff through the windowed warp (the XLA training path) must match
+    the gather path's gradients w.r.t. features AND depth hypotheses."""
+    import jax
+
+    feat, pm, dv = _setup(rng)
+    feats = jnp.stack([feat, feat * 0.5 + 0.1, feat[:, ::-1] * 0.8])
+    pms = jnp.stack([pm, pm, pm])
+    dv = dv * (1.0 + 0.01 * jnp.sin(jnp.arange(dv.size).reshape(dv.shape)))
+    ct = jnp.asarray(
+        rng.standard_normal(dv.shape + (feat.shape[-1],)).astype(np.float32)
+    )
+
+    def loss_g(f, d):
+        return jnp.sum(cost_volume.variance_volume(f, pms, d) * ct)
+
+    def loss_w(f, d):
+        return jnp.sum(
+            cost_volume.variance_volume_windowed(f, pms, d, 32, 48) * ct
+        )
+
+    gg = jax.grad(loss_g, argnums=(0, 1))(feats, dv)
+    gw = jax.grad(loss_w, argnums=(0, 1))(feats, dv)
+    for a, b, name in [(gg[0], gw[0], "d_feats"), (gg[1], gw[1], "d_depth")]:
+        a, b = np.asarray(a), np.asarray(b)
+        scale = np.abs(a).max() + 1e-6
+        np.testing.assert_allclose(
+            b / scale, a / scale, atol=2e-5, err_msg=name
+        )
