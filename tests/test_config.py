@@ -49,3 +49,41 @@ def test_result_dirs_derived():
 
     finalize_cfg(cfg)
     assert cfg.trained_model_dir.endswith(os.path.join("trained_model", "t", "e"))
+
+
+def test_experiment_config_matrix_loads():
+    """Every shipped experiment config must resolve its parent chain and
+    produce a CascadeConfig (the reference ships the same matrix under
+    configs/exps/{pretrain,evaluate,finetune}/{enerf,enerf_ours,mvsnerf,
+    mvsnerf_ours})."""
+    import glob
+
+    from boostmvsnerfs_tpu.models.enerf import CascadeConfig
+
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    paths = sorted(glob.glob(os.path.join(repo, "configs", "**", "*.yaml"),
+                             recursive=True))
+    assert len(paths) >= 19
+    methods = {"enerf", "enerf_ours", "mvsnerf", "mvsnerf_ours"}
+    seen = {(k, t) for k in methods for t in ()}
+    old = os.getcwd()
+    os.chdir(repo)
+    try:
+        for p in paths:
+            cfg = make_cfg(os.path.relpath(p, repo))
+            cas = CascadeConfig.from_cfg(cfg.enerf)
+            assert cas.num in (1, 2), p
+            assert len(cas.volume_planes) == cas.num, p
+            rel = os.path.relpath(p, repo)
+            parts = rel.split(os.sep)  # configs/exps/<stage>/<method>/...
+            if len(parts) >= 5 and parts[2] in (
+                "pretrain", "evaluate", "finetune"
+            ):
+                seen.add((parts[3], parts[2]))
+    finally:
+        os.chdir(old)
+    # 4 methods x pretrain; 3-4 methods x evaluate/finetune
+    for m in methods:
+        assert (m, "pretrain") in seen, m
+        assert (m, "evaluate") in seen or m == "enerf", m
+        assert (m, "finetune") in seen or m == "enerf", m
