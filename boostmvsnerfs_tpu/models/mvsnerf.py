@@ -41,6 +41,10 @@ class MVSNeRFConfig:
     pos_freqs: int = 10
     num_samples: int = 32  # depth planes AND samples per ray
     n_views: int = 3
+    # renderer head: 'v0'/'v2' = Renderer_ours trunk (reference default),
+    # 'v1'/'attention' = Renderer_attention, 'color_fusion' =
+    # Renderer_color_fusion (reference network.py:547-568 net_type)
+    net_type: str = "v0"
     near_far_scale: tuple = (0.8, 1.2)
     k_best: int = 4
     cost_volume_input_views: int = 3
@@ -60,7 +64,10 @@ class MVSNeRFConfig:
         cas = cfg["enerf"]["cas_config"]
         kw = {}
         if mv:
-            for k in ("pad", "feat_dim", "mlp_width", "mlp_depth", "pos_freqs"):
+            for k in (
+                "pad", "feat_dim", "mlp_width", "mlp_depth", "pos_freqs",
+                "net_type",
+            ):
                 if k in mv:
                     kw[k] = mv[k]
             if "near_far_scale" in mv:
@@ -212,6 +219,141 @@ class RendererMLP(nn.Module):
         return jnp.concatenate([rgb, alpha], axis=-1)
 
 
+class MultiHeadAttention(nn.Module):
+    """Per-sample multi-head attention over the source views (reference
+    lib/networks/mvsnerf/network.py:77-148): bias-free q/k/v projections,
+    scaled dot-product softmax, output projection, residual + LayerNorm."""
+
+    n_head: int
+    d_model: int
+    d_k: int
+    d_v: int
+
+    @nn.compact
+    def __call__(self, q, k, v, mask=None):
+        nh, dk, dv = self.n_head, self.d_k, self.d_v
+        B, Lq = q.shape[0], q.shape[1]
+        residual = q
+        qp = nn.Dense(nh * dk, use_bias=False, name="w_qs")(q)
+        kp = nn.Dense(nh * dk, use_bias=False, name="w_ks")(k)
+        vp = nn.Dense(nh * dv, use_bias=False, name="w_vs")(v)
+        qp = jnp.swapaxes(qp.reshape(B, Lq, nh, dk), 1, 2)  # (B, nh, Lq, dk)
+        kp = jnp.swapaxes(kp.reshape(B, k.shape[1], nh, dk), 1, 2)
+        vp = jnp.swapaxes(vp.reshape(B, v.shape[1], nh, dv), 1, 2)
+        attn = jnp.einsum("bhqd,bhkd->bhqk", qp / (dk ** 0.5), kp)
+        if mask is not None:
+            attn = jnp.where(mask[:, None] == 0, -1e9, attn)
+        attn = jax.nn.softmax(attn, axis=-1)
+        out = jnp.einsum("bhqk,bhkd->bhqd", attn, vp)
+        out = jnp.swapaxes(out, 1, 2).reshape(B, Lq, nh * dv)
+        out = nn.Dense(self.d_model, use_bias=False, name="fc")(out)
+        out = nn.LayerNorm(epsilon=1e-6, name="layer_norm")(out + residual)
+        return out, attn
+
+
+class RendererAttention(nn.Module):
+    """Renderer_attention (reference network.py:391-469, net_type='v1'):
+    per-view (rgb, mask) tokens fused by view attention into a blended
+    color, which also modulates the trunk bias; the trunk ADDS the bias
+    (Renderer_ours multiplies) and has no skip concat. The reference
+    appends its fused ``colors`` to the output twice; its compositing
+    reads only raw[..., :4] (renderer.py:65-92), so only (rgb, alpha)
+    are returned here."""
+
+    cfg: MVSNeRFConfig
+
+    @nn.compact
+    def __call__(self, pts_enc, feat, viewdirs, use_pallas: bool = False):
+        del use_pallas  # fused-MLP kernel covers the v0 trunk only
+        W = self.cfg.mlp_width
+        B, N = feat.shape[0], feat.shape[1]
+        feats8 = feat[..., :8]
+        V = (feat.shape[-1] - 8) // 4
+        colors4 = feat[..., 8:].reshape(B * N, V, 4)
+        tok = jnp.concatenate(
+            [
+                colors4,
+                jnp.broadcast_to(
+                    feats8.reshape(B * N, 1, 8), (B * N, V, 8)
+                ),
+            ],
+            axis=-1,
+        )  # (B*N, V, 12) — attension_dim = 4 + 8
+        tok, _ = MultiHeadAttention(4, 12, 4, 4, name="color_attention")(
+            tok, tok, tok
+        )
+        colors = jnp.sum(
+            nn.sigmoid(nn.Dense(3, name="weight_out")(tok)), axis=-2
+        ).reshape(B, N, 3)
+
+        bias = nn.Dense(W, kernel_init=kaiming, name="pts_bias")(
+            jnp.concatenate([feats8, colors], axis=-1)  # 11 channels
+        )
+        h = pts_enc
+        for i in range(self.cfg.mlp_depth):
+            h = nn.Dense(W, kernel_init=kaiming, name=f"pts_{i}")(h) + bias
+            h = nn.relu(h)
+        alpha = nn.relu(nn.Dense(1, kernel_init=kaiming, name="alpha")(h))
+        feature = nn.Dense(W, kernel_init=kaiming, name="feature")(h)
+        h = jnp.concatenate([feature, viewdirs], axis=-1)
+        h = nn.relu(nn.Dense(W // 2, kernel_init=kaiming, name="views_0")(h))
+        rgb = nn.sigmoid(nn.Dense(3, kernel_init=kaiming, name="rgb")(h))
+        return jnp.concatenate([rgb, alpha], axis=-1)
+
+
+class RendererColorFusion(nn.Module):
+    """Renderer_color_fusion (reference network.py:231-311): Renderer_ours
+    trunk (multiplicative bias + skip), then a per-view token of
+    (16-d trunk feature, per-view angle scalar, per-view rgb) fused by
+    masked view attention; the per-view sigmoid colors sum to the output
+    rgb."""
+
+    cfg: MVSNeRFConfig
+
+    @nn.compact
+    def __call__(self, pts_enc, feat, viewdirs, use_pallas: bool = False):
+        del use_pallas
+        W = self.cfg.mlp_width
+        B, N = feat.shape[0], feat.shape[1]
+        feats8 = feat[..., :8]
+        V = (feat.shape[-1] - 8) // 4
+        colors4 = feat[..., 8:].reshape(B * N, V, 4)
+
+        bias = nn.Dense(W, kernel_init=kaiming, name="pts_bias")(feat)
+        h = pts_enc
+        for i in range(self.cfg.mlp_depth):
+            h = nn.Dense(W, kernel_init=kaiming, name=f"pts_{i}")(h) * bias
+            h = nn.relu(h)
+            if i in self.cfg.skips:
+                h = jnp.concatenate([pts_enc, h], axis=-1)
+        alpha = nn.relu(nn.Dense(1, kernel_init=kaiming, name="alpha")(h))
+        feature = nn.relu(
+            nn.Dense(16, kernel_init=kaiming, name="feature")(h)
+        )  # (B, N, 16)
+
+        # per-view tokens: trunk feature + angle component + view rgb.
+        # The reference reshapes the 3-d viewdir to (V, 3//V) — one direction
+        # component per view token (network.py:296).
+        views = viewdirs.reshape(B * N, V, -1)
+        tok = jnp.concatenate(
+            [
+                jnp.broadcast_to(
+                    feature.reshape(B * N, 1, 16), (B * N, V, 16)
+                ),
+                views,
+                colors4[..., :3],
+            ],
+            axis=-1,
+        )  # (B*N, V, 16 + 3//V + 3)
+        tok, _ = MultiHeadAttention(
+            4, tok.shape[-1], 4, 4, name="ray_attention"
+        )(tok, tok, tok, mask=colors4[..., -1:])
+        rgb = jnp.sum(
+            nn.sigmoid(nn.Dense(3, name="rgb_out")(tok)), axis=-2
+        ).reshape(B, N, 3)
+        return jnp.concatenate([rgb, alpha], axis=-1)
+
+
 def mvs_proj_mats(src_ixts, src_exts, feat_scale: float = 0.25) -> jnp.ndarray:
     """Source-view projections relative to the reference (first) view,
     (B, V, 3, 4) with identity for view 0 (reference network.py:1092-1114)."""
@@ -258,7 +400,17 @@ class MVSNeRF(nn.Module):
     def setup(self):
         self.feature = MVSFeatureNet()
         self.cost_reg = MVSCostRegNet()
-        self.renderer = RendererMLP(self.cfg)
+        # reference net_type dispatch (network.py:547-568): 'v0'/'v2' use the
+        # Renderer_ours trunk, 'v1' the view-attention renderer, plus the
+        # color-fusion variant (selected explicitly in the reference code)
+        renderer_cls = {
+            "v0": RendererMLP,
+            "v2": RendererMLP,
+            "v1": RendererAttention,
+            "attention": RendererAttention,
+            "color_fusion": RendererColorFusion,
+        }[self.cfg.net_type]
+        self.renderer = renderer_cls(self.cfg)
 
     def extract_features(self, all_src_inps, train: bool):
         B, V, H, W, C = all_src_inps.shape

@@ -132,8 +132,16 @@ def load_reference_boost():
 
 def load_reference_mvsnerf():
     """Import the reference MVSNeRF stack (needs an inplace_abn stub: plain
-    BN + leaky_relu(0.01), the InPlaceABN default activation)."""
+    BN + leaky_relu(0.01), the InPlaceABN default activation, and a
+    torchvision stub — lib/networks/mvsnerf/utils.py:7 imports transforms
+    that the network-parity paths never call)."""
     ref = load_reference()
+    if "torchvision" not in sys.modules:
+        tv = types.ModuleType("torchvision")
+        tvt = types.ModuleType("torchvision.transforms")
+        tv.transforms = tvt
+        sys.modules["torchvision"] = tv
+        sys.modules["torchvision.transforms"] = tvt
     if "inplace_abn" not in sys.modules:
         import torch
         import torch.nn as nn
