@@ -128,8 +128,12 @@ def test_boost_train_step_mesh_matches_single_device(boost_setup):
         jax.tree_util.tree_leaves(new_state.params),
         jax.tree_util.tree_leaves(ref_state.params),
     ):
+        # atol = lr scale: GSPMD collectives reorder f32 reductions, and
+        # adam normalizes tiny gradient noise up to a fraction of one step
+        # (full-image training takes the structured sampling path, whose
+        # sharded resize matmuls reduce in a different order)
         np.testing.assert_allclose(
-            np.asarray(a), np.asarray(b), rtol=1e-3, atol=1e-6
+            np.asarray(a), np.asarray(b), rtol=1e-3, atol=5e-4
         )
 
 
