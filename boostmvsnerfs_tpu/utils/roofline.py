@@ -1,0 +1,185 @@
+"""Analytic FLOP / HBM-byte accounting for the flagship render.
+
+Counts the major matmul/conv terms of the BoostENeRF fused render (the
+bench.py workload) so throughput can be reported as a fraction of the
+chip's speed of light instead of only relative to past runs
+(BASELINE.md). Numbers are per rendered target view; minor elementwise
+work (depth regression, compositing, softmax) is excluded, so MFU is a
+slight lower bound.
+
+Peak numbers default to TPU v5e (197 TFLOP/s bf16, 819 GB/s HBM) and can
+be overridden with BOOST_PEAK_TFLOPS / BOOST_PEAK_GBPS for other chips.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import os
+
+
+def _conv2d(h, w, cin, cout, k):
+    return 2 * h * w * cin * cout * k * k
+
+
+def _conv3d(d, h, w, cin, cout, k=3):
+    return 2 * d * h * w * cin * cout * k ** 3
+
+
+def fpn_flops(H, W, n_views):
+    """FeatureNet (models/feature_net.py): 6 conv stages + FPN merges."""
+    f = 0
+    f += _conv2d(H, W, 3, 8, 3) + _conv2d(H, W, 8, 8, 3)
+    f += _conv2d(H // 2, W // 2, 8, 16, 5) + _conv2d(H // 2, W // 2, 16, 16, 3)
+    f += _conv2d(H // 4, W // 4, 16, 32, 5) + _conv2d(H // 4, W // 4, 32, 32, 3)
+    f += _conv2d(H // 4, W // 4, 32, 32, 1)  # toplayer
+    f += _conv2d(H // 2, W // 2, 16, 32, 1) + _conv2d(H, W, 8, 32, 1)  # lats
+    f += _conv2d(H // 2, W // 2, 32, 16, 3) + _conv2d(H, W, 32, 8, 3)  # smooth
+    return n_views * f
+
+
+def warp_flops(D, Hv, Wv, Hs, Ws, C, window_h, n_cv, s_cv):
+    """Fused warp-variance (ops/pallas/warp_variance.py): per output row one
+    (window_h*C, Ws) x (Ws, Wv) matmul + one (C, window_h*C) x (., Wv)
+    channel-selection matmul, per source view per plane."""
+    whc = window_h * C
+    per_row = 2 * whc * Ws * Wv + 2 * C * whc * Wv
+    return n_cv * s_cv * D * Hv * per_row
+
+
+def costreg_flops(D, Hv, Wv, cin, deep: bool):
+    """MinCostRegNet (deep=False) / CostRegNet (models/cost_reg_net.py)."""
+    f = _conv3d(D, Hv, Wv, cin, 8)
+    f += _conv3d(D // 2, Hv // 2, Wv // 2, 8, 16)
+    f += _conv3d(D // 2, Hv // 2, Wv // 2, 16, 16)
+    f += _conv3d(D // 4, Hv // 4, Wv // 4, 16, 32)
+    f += _conv3d(D // 4, Hv // 4, Wv // 4, 32, 32)
+    if deep:
+        f += _conv3d(D // 8, Hv // 8, Wv // 8, 32, 64) * 2
+        f += _conv3d(D // 4, Hv // 4, Wv // 4, 64, 32)  # deconv to /4
+    f += _conv3d(D // 2, Hv // 2, Wv // 2, 32 if not deep else 32, 16)
+    f += _conv3d(D, Hv, Wv, 16, 8)
+    f += _conv3d(D, Hv, Wv, 8, 8) + _conv3d(D, Hv, Wv, 8, 1)
+    return f
+
+
+def img_sample_flops(H_r, W_r, Ns, Hs, Ws, Cp, window_h, n_cv, s_cv):
+    """Fused row sampler (ops/pallas/img_sample.py): per target row one
+    (window_h*Cp, Ws) x (Ws, T) matmul + the channel selection, T = W_r*Ns."""
+    whc = window_h * Cp
+    T = W_r * Ns
+    per_row = 2 * whc * Ws * T + 2 * Cp * whc * T
+    return n_cv * s_cv * H_r * per_row
+
+
+def nerf_head_flops(N, Ns, S, C):
+    """NeRFHead + Agg (models/nerf_head.py); C = feat_ch incl. RGB."""
+    per_sample = 0
+    per_sample += S * 2 * 4 * C  # view_fc
+    per_sample += S * 2 * C * 32 + 2 * (2 * C) * 32  # global_fc split
+    per_sample += S * 2 * 32 + 2 * 32 * 16  # agg_w + fc
+    per_sample += 2 * 24 * 64 + 2 * 64  # lr0 + sigma
+    per_sample += 2 * 88 * 64 + S * 2 * (C + 4) * 64 + S * 2 * 64  # color
+    return N * Ns * per_sample
+
+
+@dataclasses.dataclass
+class Roofline:
+    flops: float
+    bytes: float
+
+    @property
+    def intensity(self):
+        return self.flops / max(self.bytes, 1)
+
+
+def flagship_render_costs(H, W, n_views=6, k_best=4, s_cv=3, cas=None):
+    """Per-view FLOPs/bytes of the BoostENeRF fused render (bench.py
+    geometry). Returns {stage: Roofline} plus a 'total'."""
+    if cas is None:
+        from boostmvsnerfs_tpu.models.enerf import CascadeConfig
+
+        cas = CascadeConfig(k_best=k_best)
+    stages = {}
+    stages["fpn"] = Roofline(
+        fpn_flops(H, W, n_views),
+        n_views * H * W * (3 + 8 + 32 // 4 + 16 // 2) * 4.0,
+    )
+    # level 0: feats H/4 x W/4 x 32, volume D0 at 1/8
+    D0, D1 = cas.volume_planes
+    Hv0, Wv0 = int(H * 0.125), int(W * 0.125)
+    Hv1, Wv1 = H // 2, W // 2
+    stages["warp0"] = Roofline(
+        warp_flops(D0, Hv0, Wv0, H // 4, W // 4, 32, cas.pallas_window_h[0],
+                   k_best, s_cv),
+        k_best * (s_cv * (H // 4) * (W // 4) * 32 * 2.0
+                  + D0 * Hv0 * Wv0 * (32 + 1) * 4.0),
+    )
+    stages["warp1"] = Roofline(
+        warp_flops(D1, Hv1, Wv1, H // 2, W // 2, 16, cas.pallas_window_h[1],
+                   k_best, s_cv),
+        k_best * (s_cv * (H // 2) * (W // 2) * 16 * 2.0
+                  + D1 * Hv1 * Wv1 * (16 + 1) * 4.0),
+    )
+    act0 = D0 * Hv0 * Wv0
+    act1 = D1 * Hv1 * Wv1
+    stages["costreg0"] = Roofline(
+        k_best * costreg_flops(D0, Hv0, Wv0, 32, deep=False),
+        k_best * act0 * (32 + 8 + 8 + 1) * 4.0 * 2,
+    )
+    stages["costreg1"] = Roofline(
+        k_best * costreg_flops(D1, Hv1, Wv1, 16, deep=True),
+        k_best * act1 * (16 + 8 + 8 + 1) * 4.0 * 2,
+    )
+    # render level 1 (full res, Ns=2): image sampling + NeRF head
+    Ns1 = cas.num_samples[1]
+    stages["sample1"] = Roofline(
+        img_sample_flops(H, W, Ns1, H, W, 16, cas.pallas_img_window_h[1],
+                         k_best, s_cv),
+        k_best * (s_cv * H * W * 16 * 2.0
+                  + H * W * Ns1 * s_cv * 16 * 4.0),
+    )
+    stages["nerf1"] = Roofline(
+        k_best * nerf_head_flops(H * W, Ns1, s_cv, 8 + 3),
+        k_best * H * W * Ns1 * s_cv * (8 + 3 + 4) * 4.0,
+    )
+    # render level 0 (quarter res, Ns=8) on 32+3-ch features
+    Ns0 = cas.num_samples[0]
+    stages["sample0"] = Roofline(
+        img_sample_flops(H // 4, W // 4, Ns0, H // 4, W // 4, 48,
+                         cas.pallas_img_window_h[0], k_best, s_cv),
+        k_best * (s_cv * (H // 4) * (W // 4) * 48 * 2.0
+                  + (H // 4) * (W // 4) * Ns0 * s_cv * 48 * 4.0),
+    )
+    stages["nerf0"] = Roofline(
+        k_best * nerf_head_flops((H // 4) * (W // 4), Ns0, s_cv, 32 + 3),
+        k_best * (H // 4) * (W // 4) * Ns0 * s_cv * (32 + 3 + 4) * 4.0,
+    )
+    stages["total"] = Roofline(
+        sum(s.flops for s in stages.values()),
+        sum(s.bytes for s in stages.values()),
+    )
+    return stages
+
+
+def peaks():
+    """(peak FLOP/s, peak HBM B/s) for the current chip; defaults to v5e."""
+    tflops = float(os.environ.get("BOOST_PEAK_TFLOPS", 197.0))
+    gbps = float(os.environ.get("BOOST_PEAK_GBPS", 819.0))
+    return tflops * 1e12, gbps * 1e9
+
+
+def speed_of_light(H, W, seconds, **kw):
+    """MFU and roofline speed-of-light fraction for one rendered view.
+
+    sol_pct = achieved / max(compute-bound, bandwidth-bound) limit — 100%
+    means the render runs at the roofline for its arithmetic intensity."""
+    costs = flagship_render_costs(H, W, **kw)["total"]
+    peak_f, peak_b = peaks()
+    mfu = costs.flops / seconds / peak_f
+    t_limit = max(costs.flops / peak_f, costs.bytes / peak_b)
+    return {
+        "mfu": mfu,
+        "sol_pct": t_limit / seconds,
+        "gflops_per_view": costs.flops / 1e9,
+        "gbytes_per_view": costs.bytes / 1e9,
+    }
