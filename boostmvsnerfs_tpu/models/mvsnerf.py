@@ -41,9 +41,10 @@ class MVSNeRFConfig:
     pos_freqs: int = 10
     num_samples: int = 32  # depth planes AND samples per ray
     n_views: int = 3
-    # renderer head: 'v0'/'v2' = Renderer_ours trunk (reference default),
-    # 'v1'/'attention' = Renderer_attention, 'color_fusion' =
-    # Renderer_color_fusion (reference network.py:547-568 net_type)
+    # renderer head: 'v0' = Renderer_ours trunk (reference default),
+    # 'v2' = Renderer_linear (additive pts_bias), 'v1'/'attention' =
+    # Renderer_attention, 'color_fusion' = Renderer_color_fusion
+    # (reference network.py:548-567 net_type)
     net_type: str = "v0"
     near_far_scale: tuple = (0.8, 1.2)
     k_best: int = 4
@@ -158,14 +159,22 @@ class RendererMLP(nn.Module):
     """Renderer_ours (reference network.py:152-229): feature-modulated trunk
     with skip, relu alpha head, sigmoid rgb head on a viewdir branch.
 
+    ``additive_bias=True`` selects the Renderer_linear trunk instead
+    (reference network.py:471-544, net_type='v2'): identical parameter tree
+    and skip concats, but each trunk layer ADDS the feature bias rather than
+    multiplying by it.
+
     ``use_pallas=True`` routes the whole MLP through the fused VMEM kernel
     (ops/pallas/mlp.py) — same parameter tree, bf16 matmul numerics."""
 
     cfg: MVSNeRFConfig
+    additive_bias: bool = False
 
     @nn.compact
     def __call__(self, pts_enc, feat, viewdirs, use_pallas: bool = False):
         W = self.cfg.mlp_width
+        if use_pallas and self.additive_bias:
+            use_pallas = False  # fused kernel implements the v0 trunk only
         if use_pallas:
             from boostmvsnerfs_tpu.ops.pallas import pallas_interpret
             from boostmvsnerfs_tpu.ops.pallas.mlp import (
@@ -207,7 +216,8 @@ class RendererMLP(nn.Module):
         h = pts_enc
         bias = nn.Dense(W, kernel_init=kaiming, name="pts_bias")(feat)
         for i in range(self.cfg.mlp_depth):
-            h = nn.Dense(W, kernel_init=kaiming, name=f"pts_{i}")(h) * bias
+            h = nn.Dense(W, kernel_init=kaiming, name=f"pts_{i}")(h)
+            h = h + bias if self.additive_bias else h * bias
             h = nn.relu(h)
             if i in self.cfg.skips:
                 h = jnp.concatenate([pts_enc, h], axis=-1)
@@ -400,17 +410,18 @@ class MVSNeRF(nn.Module):
     def setup(self):
         self.feature = MVSFeatureNet()
         self.cost_reg = MVSCostRegNet()
-        # reference net_type dispatch (network.py:547-568): 'v0'/'v2' use the
-        # Renderer_ours trunk, 'v1' the view-attention renderer, plus the
-        # color-fusion variant (selected explicitly in the reference code)
-        renderer_cls = {
-            "v0": RendererMLP,
-            "v2": RendererMLP,
-            "v1": RendererAttention,
-            "attention": RendererAttention,
-            "color_fusion": RendererColorFusion,
-        }[self.cfg.net_type]
-        self.renderer = renderer_cls(self.cfg)
+        # reference net_type dispatch (network.py:548-567): 'v0' =
+        # Renderer_ours (multiplicative pts_bias), 'v2' = Renderer_linear
+        # (additive pts_bias, same trunk/skips), 'v1' the view-attention
+        # renderer, plus the color-fusion variant (selected explicitly in
+        # the reference code)
+        self.renderer = {
+            "v0": lambda: RendererMLP(self.cfg),
+            "v2": lambda: RendererMLP(self.cfg, additive_bias=True),
+            "v1": lambda: RendererAttention(self.cfg),
+            "attention": lambda: RendererAttention(self.cfg),
+            "color_fusion": lambda: RendererColorFusion(self.cfg),
+        }[self.cfg.net_type]()
 
     def extract_features(self, all_src_inps, train: bool):
         B, V, H, W, C = all_src_inps.shape

@@ -56,7 +56,7 @@ def costreg_flops(D, Hv, Wv, cin, deep: bool):
     if deep:
         f += _conv3d(D // 8, Hv // 8, Wv // 8, 32, 64) * 2
         f += _conv3d(D // 4, Hv // 4, Wv // 4, 64, 32)  # deconv to /4
-    f += _conv3d(D // 2, Hv // 2, Wv // 2, 32 if not deep else 32, 16)
+    f += _conv3d(D // 2, Hv // 2, Wv // 2, 32, 16)
     f += _conv3d(D, Hv, Wv, 16, 8)
     f += _conv3d(D, Hv, Wv, 8, 8) + _conv3d(D, Hv, Wv, 8, 1)
     return f

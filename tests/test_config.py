@@ -65,7 +65,7 @@ def test_experiment_config_matrix_loads():
                              recursive=True))
     assert len(paths) >= 19
     methods = {"enerf", "enerf_ours", "mvsnerf", "mvsnerf_ours"}
-    seen = {(k, t) for k in methods for t in ()}
+    seen = set()
     old = os.getcwd()
     os.chdir(repo)
     try:

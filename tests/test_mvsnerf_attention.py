@@ -169,6 +169,50 @@ def test_renderer_color_fusion_matches_reference(rng):
     )
 
 
+def test_renderer_linear_matches_reference(rng):
+    """net_type='v2' (Renderer_linear, reference network.py:471-544):
+    Renderer_ours trunk + skips but with an ADDITIVE pts_bias."""
+    from boostmvsnerfs_tpu.models.mvsnerf import RendererMLP
+
+    ref = load_reference_mvsnerf()
+    torch.manual_seed(3)
+    D, W = 6, 128
+    ref_r = ref.mvsnerf_network.Renderer_linear(
+        D=D, W=W, input_ch=63, input_ch_views=3, output_ch=4,
+        input_ch_feat=20, skips=[4], use_viewdirs=True,
+    )
+    ref_r.eval()
+
+    pts, feat, views = _renderer_inputs(rng)
+    with torch.no_grad():
+        want = ref_r(
+            torch.from_numpy(np.concatenate([pts, feat, views], -1))
+        ).numpy()
+
+    sd = ref_r.state_dict()
+    params = {
+        "pts_bias": _dense(sd, "pts_bias"),
+        "alpha": _dense(sd, "alpha_linear"),
+        "feature": _dense(sd, "feature_linear"),
+        "views_0": _dense(sd, "views_linears.0"),
+        "rgb": _dense(sd, "rgb_linear"),
+    }
+    for i in range(D):
+        params[f"pts_{i}"] = _dense(sd, f"pts_linears.{i}")
+
+    cfg = MVSNeRFConfig(mlp_depth=D, mlp_width=W, net_type="v2")
+    got = RendererMLP(cfg, additive_bias=True).apply(
+        {"params": params},
+        jnp.asarray(pts.reshape(1, -1, 63)),
+        jnp.asarray(feat.reshape(1, -1, 20)),
+        jnp.asarray(views.reshape(1, -1, 3)),
+    )
+    np.testing.assert_allclose(
+        np.asarray(got)[0].reshape(want.shape[0], want.shape[1], 4),
+        want, rtol=1e-4, atol=1e-5,
+    )
+
+
 def test_mvsnerf_net_type_variants_forward(rng):
     """The full MVSNeRF model runs end to end with each renderer head."""
     import dataclasses
@@ -178,7 +222,7 @@ def test_mvsnerf_net_type_variants_forward(rng):
     batch = _mvs_batch(rng)
     from boostmvsnerfs_tpu.models.mvsnerf import MVSNeRF
 
-    for net_type in ("v1", "color_fusion"):
+    for net_type in ("v1", "v2", "color_fusion"):
         cfg = dataclasses.replace(
             MVSNeRFConfig(
                 num_samples=8, eval_sampling="gather", net_type=net_type
