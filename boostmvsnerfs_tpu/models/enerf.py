@@ -105,6 +105,12 @@ class CascadeConfig:
     # accumulation — interpolation-weight rounding ~2^-9, well inside the
     # parity budget (tests/test_mixed_precision.py measures the PSNR delta)
     warp_dtype: str = "bfloat16"
+    # variant knobs (reference aux networks): MinCostRegNet at every level
+    # + image-feature-only NeRF head = the composite layered variant's
+    # per-layer stack (lib/networks/enerf/network_composite.py:18-21 with
+    # the nerf_.py head)
+    min_cost_reg_all: bool = False
+    use_vox_feat: bool = True
 
     def _warp_dt(self):
         return None if self.warp_dtype == "float32" else jnp.dtype(
@@ -140,13 +146,14 @@ class ENeRF(nn.Module):
         for i in range(self.cas.num):
             cost_regs.append(
                 MinCostRegNet(self.bn_axis_name, dt)
-                if i == 0
+                if i == 0 or self.cas.min_cost_reg_all
                 else CostRegNet(self.bn_axis_name, dt)
             )
             nerf_heads.append(
                 NeRFHead(
                     feat_ch=self.cas.nerf_model_feat_ch[i] + 3,
                     viewdir_agg=self.cas.viewdir_agg,
+                    use_vox_feat=self.cas.use_vox_feat,
                 )
             )
         self.cost_regs = cost_regs
@@ -175,16 +182,27 @@ class ENeRF(nn.Module):
         near_far,
         prev,  # None | (depth, std, nf_map)
         train: bool,
+        tar_hw: tuple | None = None,
     ):
         """Cost volume -> regularized feature volume + regressed depth.
+
+        ``tar_hw`` overrides the full-resolution target raster size (the
+        composite variant renders each foreground layer through a virtual
+        camera cropped to its bbox: static crop size, dynamically shifted
+        principal point — the TPU-native equivalent of the reference's
+        dynamic bbox slicing in homo_warp_composite,
+        lib/networks/enerf/utils.py:290-322).
 
         Returns (feat_vol (B,D,Hv,Wv,8), depth (B,Hv,Wv), std, nf_map
         (B,2,Hv,Wv), depth_values).
         """
         cas = self.cas
         B, S, Hf, Wf, _ = feats[f"level_{level}"].shape
-        H = int(round(Hf / cas.im_feat_scale[level]))
-        W = int(round(Wf / cas.im_feat_scale[level]))
+        if tar_hw is None:
+            H = int(round(Hf / cas.im_feat_scale[level]))
+            W = int(round(Wf / cas.im_feat_scale[level]))
+        else:
+            H, W = tar_hw
         Hv, Wv = int(H * cas.volume_scale[level]), int(W * cas.volume_scale[level])
         D = cas.volume_planes[level]
         inv = cas.depth_inv[level]
@@ -281,6 +299,7 @@ class ENeRF(nn.Module):
         ray_idx: jnp.ndarray,  # (B, N)
         train: bool,
         return_raw: bool = False,
+        tar_hw: tuple | None = None,
     ) -> dict:
         """Depth-guided rendering of the rays at ``ray_idx``.
 
@@ -288,9 +307,13 @@ class ENeRF(nn.Module):
         plus utils.build_rays; with ``return_raw`` the per-sample radiance,
         z-values, and visibility mask are returned un-composited for the
         boost fused render (reference lib/networks/boost_enerf/network.py:123-149).
+        ``tar_hw`` overrides the target raster size (virtual-crop cameras of
+        the composite variant; see build_level_volume).
         """
         cas = self.cas
         B, S, H, W, _ = batch["src_inps"].shape
+        if tar_hw is not None:
+            H, W = tar_hw
         H_r, W_r = int(H * cas.render_scale[level]), int(W * cas.render_scale[level])
         inv = cas.depth_inv[level]
         D = feat_vol.shape[1]

@@ -47,3 +47,63 @@ class FeatureNet(nn.Module):
         feat0 = nn.Conv(8, (3, 3), padding="SAME", dtype=dt, name="smooth0")(feat0)
         f32 = lambda v: v.astype(jnp.float32)
         return {"level_0": f32(feat2), "level_1": f32(feat1), "level_2": f32(feat0)}
+
+
+class ResidualConv(nn.Module):
+    """Pre-activation residual block (reference
+    lib/networks/enerf/res_unet.py:4-25): BN-ReLU-Conv-BN-ReLU-Conv plus a
+    Conv-BN skip, optional stride-2 downsampling."""
+
+    features: int
+    stride: int = 1
+    dtype: jnp.dtype | None = None
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray, train: bool = False) -> jnp.ndarray:
+        dt = self.dtype
+        norm = lambda name: nn.BatchNorm(
+            use_running_average=not train, momentum=0.9, epsilon=1e-5,
+            dtype=dt, name=name,
+        )
+        s = (self.stride, self.stride)
+        h = nn.relu(norm("bn_in")(x))
+        h = nn.Conv(self.features, (3, 3), strides=s, padding=1,
+                    dtype=dt, name="conv1")(h)
+        h = nn.relu(norm("bn_mid")(h))
+        h = nn.Conv(self.features, (3, 3), padding=1, dtype=dt,
+                    name="conv2")(h)
+        skip = nn.Conv(self.features, (3, 3), strides=s, padding=1,
+                       dtype=dt, name="conv_skip")(x)
+        skip = norm("bn_skip")(skip)
+        return h + skip
+
+
+class ResUNet(nn.Module):
+    """Residual U-Net feature extractor (reference
+    lib/networks/enerf/res_unet.py:40-99, an unused alternative to the FPN):
+    16/32/64 residual encoder + 128 bridge, one 2x transposed-conv decode
+    step, 1x1 conv to a single 32ch map at 1/4 resolution. Returned under
+    the same level-dict convention as FeatureNet so it can slot in as the
+    level-0 extractor."""
+
+    dtype: jnp.dtype | None = None
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray, train: bool = False) -> dict:
+        dt = self.dtype
+        h1 = nn.Conv(16, (3, 3), padding=1, dtype=dt, name="in_conv1")(x)
+        h1 = nn.BatchNorm(use_running_average=not train, momentum=0.9,
+                          epsilon=1e-5, dtype=dt, name="in_bn")(h1)
+        h1 = nn.Conv(16, (3, 3), padding=1, dtype=dt,
+                     name="in_conv2")(nn.relu(h1))
+        h1 = h1 + nn.Conv(16, (3, 3), padding=1, dtype=dt,
+                          name="in_skip")(x)
+        h2 = ResidualConv(32, 2, dt, name="res1")(h1, train)
+        h3 = ResidualConv(64, 2, dt, name="res2")(h2, train)
+        h4 = ResidualConv(128, 2, dt, name="bridge")(h3, train)
+        up = nn.ConvTranspose(128, (2, 2), strides=(2, 2), dtype=dt,
+                              name="up1")(h4)
+        out = nn.Conv(32, (1, 1), dtype=dt, name="out_conv")(
+            jnp.concatenate([up, h3], axis=-1)
+        )
+        return {"level_0": out.astype(jnp.float32)}

@@ -83,12 +83,21 @@ class NeRFHead(nn.Module):
     feat_ch: int  # per-view feature channels incl. RGB (e.g. 32+3 or 8+3)
     hid_n: int = 64
     viewdir_agg: bool = True
+    # False = the older image-feature-only head used by the composite
+    # layered variant (reference lib/networks/enerf/nerf_.py:13,33-34:
+    # lr0 takes the 16-dim aggregated image feature, vox_feat is ignored)
+    use_vox_feat: bool = True
 
     @nn.compact
     def __call__(self, vox_feat: jnp.ndarray, img_feat_rgb_dir: jnp.ndarray):
         """vox_feat (..., 8), img_feat_rgb_dir (..., S, feat_ch+4) -> (..., 4)."""
         img_feat = Agg(self.feat_ch, self.viewdir_agg, name="agg")(img_feat_rgb_dir)
-        vox_img_feat = jnp.concatenate([vox_feat, img_feat], axis=-1)  # (..., 24)
+        if self.use_vox_feat:
+            vox_img_feat = jnp.concatenate(
+                [vox_feat, img_feat], axis=-1
+            )  # (..., 24)
+        else:
+            vox_img_feat = img_feat  # (..., 16)
         x = nn.relu(nn.Dense(self.hid_n, kernel_init=kaiming, name="lr0")(vox_img_feat))
         sigma = nn.softplus(nn.Dense(1, kernel_init=kaiming, name="sigma")(x))
 

@@ -186,6 +186,22 @@ def resize_bilinear_2d(x: jnp.ndarray, H_out: int, W_out: int) -> jnp.ndarray:
     return resize_bilinear(x[..., None], H_out, W_out)[..., 0]
 
 
+@partial(jax.jit, static_argnums=(1, 2, 3))
+def resize_trilinear(
+    vol: jnp.ndarray, D_out: int, H_out: int, W_out: int
+) -> jnp.ndarray:
+    """Align-corners trilinear resize of (..., D, H, W, C) — torch
+    ``F.interpolate(mode='trilinear', align_corners=True)`` equivalent
+    (reference lib/networks/enerf/cost_reg_net_.py:83-85), as three
+    separable MXU matmuls."""
+    D, H, W = vol.shape[-4], vol.shape[-3], vol.shape[-2]
+    out = resize_bilinear(vol, H_out, W_out)
+    if D != D_out:
+        md = _interp_matrix(D_out, D, vol.dtype)  # (D_out, D)
+        out = jnp.einsum("od,...dhwc->...ohwc", md, out)
+    return out
+
+
 # ---------------------------------------------------------------------------
 # Structured (gather-free) sampling for smooth coordinate fields.
 # ---------------------------------------------------------------------------

@@ -47,6 +47,21 @@ def make_network(cfg):
         return _mvsnerf_model(cfg)
     if name == "enerf":
         return ENeRF(cas=cas)
+    if name == "enerf_composite":
+        from boostmvsnerfs_tpu.models.variants import CompositeENeRF
+
+        node = cfg.get("composite", {})
+        return CompositeENeRF(
+            cas=cas,
+            num_fg_layers=int(node.get("num_fg_layers", 1)),
+            fg_hw=tuple(node.get("fg_hw", (64, 64))),
+            bg_planes=tuple(node.get("bg_planes", (16, 4))),
+            white_bkgd=bool(cfg.get("enerf", {}).get("white_bkgd", False)),
+        )
+    if name == "enerf_human":
+        from boostmvsnerfs_tpu.models.variants import HumanENeRF
+
+        return HumanENeRF(cas=cas)
     raise ValueError(f"unknown network module: {cfg['network_module']}")
 
 

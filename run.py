@@ -108,6 +108,15 @@ def run_visualize(cfg):
     vis.summarize()
 
 
+def run_gui(cfg):
+    """Interactive browser viewer (reference lib/interactive/ equivalent;
+    see boostmvsnerfs_tpu/interactive/server.py and docs/VIEWER.md)."""
+    from boostmvsnerfs_tpu.interactive.server import run_gui as _run
+
+    _run(cfg, port=int(cfg.get("gui_port", 8008)),
+         host=cfg.get("gui_host", "127.0.0.1"))
+
+
 def run_path(cfg):
     """Render a novel camera trajectory to video (reference render_path)."""
     from boostmvsnerfs_tpu import runner
@@ -124,7 +133,7 @@ def main():
     parser.add_argument("--cfg_file", required=True)
     parser.add_argument("--type", required=True,
                         choices=["dataset", "network", "preprocess", "evaluate",
-                                 "visualize", "path"])
+                                 "visualize", "path", "gui"])
     parser.add_argument("opts", nargs=argparse.REMAINDER, default=[])
     args = parser.parse_args()
 

@@ -1,3 +1,5 @@
 #!/bin/bash
-# Render a custom LLFF-style capture (COLMAP -> poses_bounds.npy expected).
+# Render a novel-view video of a user capture (reference scripts/custom.sh).
+# Prepare the scene first — see docs/CUSTOM_CAPTURE.md.
+
 python run.py --type visualize --cfg_file configs/custom/custom.yaml "$@"
