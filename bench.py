@@ -18,13 +18,31 @@ import jax
 import jax.numpy as jnp
 
 
-def _sync(out):
+def _sync_all(out):
     """block_until_ready alone is unreliable on the axon remote backend for
     freshly compiled executables — force a tiny host transfer per leaf."""
     import numpy as np
 
     for leaf in jax.tree_util.tree_leaves(out):
         np.asarray(jax.device_get(leaf.ravel()[0]))
+    return out
+
+
+def _sync_frame(out):
+    """Per-iteration sync: one host fetch of the FINAL stage's output.
+
+    Executables dispatch in order on the single TPU core, so the last
+    blend stage's rgb completing implies the whole frame completed. A
+    per-leaf fetch costs one tunnel round-trip per output (10 leaves —
+    measured ~250ms/frame of pure RTT on the axon backend), which is
+    measurement overhead, not render time."""
+    import numpy as np
+
+    leaf = out["rgb_level1"] if "rgb_level1" in out else (
+        jax.tree_util.tree_leaves(out)[-1]
+    )
+    jax.block_until_ready(leaf)
+    np.asarray(jax.device_get(leaf.ravel()[0]))
     return out
 
 
@@ -36,7 +54,7 @@ def main():
     H, W = int(os.environ.get("BENCH_H", 480)), int(os.environ.get("BENCH_W", 736))
     n_views = 6
     k_best = 4
-    iters = int(os.environ.get("BENCH_ITERS", 5))
+    iters = int(os.environ.get("BENCH_ITERS", 8))
 
     cas = CascadeConfig(k_best=k_best)
     model = BoostENeRF(cas=cas)
@@ -56,13 +74,13 @@ def main():
         fwd = StagedENeRF(model)
     else:
         fwd = jax.jit(lambda v, b: model.apply(v, b, False))
-    # warm-up / compile
-    _sync(fwd(variables, batch))
+    # warm-up / compile (full-leaf sync: every executable provably ran)
+    _sync_all(fwd(variables, batch))
 
     times = []
     for _ in range(iters):
         t0 = time.perf_counter()
-        _sync(fwd(variables, batch))
+        _sync_frame(fwd(variables, batch))
         times.append(time.perf_counter() - t0)
 
     n_rays = batch["ray_idx_1"].shape[1]
@@ -84,6 +102,9 @@ def main():
             json.dump({"rays_per_sec": rays_per_sec, "H": H, "W": W,
                        "fps": 1.0 / dt}, f)
 
+    from boostmvsnerfs_tpu.utils.roofline import speed_of_light
+
+    sol = speed_of_light(H, W, dt, n_views=n_views, k_best=k_best)
     print(
         json.dumps(
             {
@@ -91,6 +112,10 @@ def main():
                 "value": round(rays_per_sec, 1),
                 "unit": "rays/s",
                 "vs_baseline": round(vs_baseline, 4),
+                "fps": round(1.0 / dt, 3),
+                "mfu": round(sol["mfu"], 4),
+                "sol_pct": round(sol["sol_pct"], 4),
+                "gflops_per_view": round(sol["gflops_per_view"], 1),
             }
         )
     )

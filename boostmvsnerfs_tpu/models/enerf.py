@@ -134,6 +134,11 @@ class ENeRF(nn.Module):
     """Cascade ENeRF network (reference lib/networks/enerf/network.py:11-113)."""
 
     cas: CascadeConfig = CascadeConfig()
+    # cross-device BatchNorm axis for shard_map/pmap-style use ONLY. The
+    # jit/GSPMD train path needs no axis name: reductions over the sharded
+    # batch are global by construction, which IS the SyncBN equivalence
+    # (reference lib/train/trainers/trainer.py:15-22; pinned by
+    # tests/test_parallel.py::test_syncbn_gspmd_global_stats)
     bn_axis_name: str | None = None
 
     def setup(self):

@@ -155,3 +155,40 @@ def test_train_step_sharded_runs(setup):
     a = jax.tree_util.tree_leaves(new_state.params)[0]
     b = jax.tree_util.tree_leaves(ref_state.params)[0]
     np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=1e-3, atol=1e-6)
+
+
+def test_syncbn_gspmd_global_stats():
+    """SyncBN parity under GSPMD: BatchNorm batch statistics computed with
+    the batch axis sharded over the mesh equal single-device statistics.
+
+    The reference wraps networks in torch SyncBatchNorm under DDP
+    (lib/train/trainers/trainer.py:15-22). Here no axis_name plumbing is
+    needed in the jit train path: jnp reductions over a sharded batch are
+    global by construction under GSPMD — this test pins that property
+    (models expose bn_axis_name only for shard_map/pmap-style use)."""
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    from boostmvsnerfs_tpu.models.blocks import ConvBnReLU
+
+    rng = np.random.default_rng(11)
+    x = jnp.asarray(rng.standard_normal((8, 6, 6, 3)), jnp.float32)
+    block = ConvBnReLU(4, (3, 3), (1, 1))
+    variables = block.init(jax.random.PRNGKey(0), x, True)
+
+    def step(v, xs):
+        out, mut = block.apply(v, xs, True, mutable=["batch_stats"])
+        return out, mut["batch_stats"]
+
+    ref_out, ref_stats = jax.jit(step)(variables, x)
+
+    m = mesh_lib.make_mesh(n_data=8, n_rays=1, devices=jax.devices("cpu"))
+    xs = jax.device_put(x, NamedSharding(m, P("data")))
+    vs = jax.device_put(variables, NamedSharding(m, P()))
+    out, stats = jax.jit(step)(vs, xs)
+
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref_out),
+                               rtol=1e-5, atol=1e-6)
+    for a, b in zip(jax.tree_util.tree_leaves(stats),
+                    jax.tree_util.tree_leaves(ref_stats)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=1e-5, atol=1e-6)
