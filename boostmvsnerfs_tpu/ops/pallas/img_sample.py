@@ -36,6 +36,28 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 
+def _pack_geometry(C: int, window_h: int, H: int):
+    """(Cp, align, window_k): channel padding + window-origin alignment.
+
+    Channels pad to a multiple of 4 and window origins align to
+    ``16 / gcd(Cp, 16)`` rows so every ``y0 * Cp`` sublane offset and every
+    ``window_k * Cp`` slice length stays a multiple of the 16-sublane tile
+    — far less padding waste than rounding C to 16 (the 16feat+3rgb render
+    maps pay 20/19 instead of 32/19 on the big interpolation matmul). The
+    aligned window widens to cover the worst-case origin rounding, so the
+    caller's ``window_h`` coverage semantics are unchanged. Falls back to
+    C-to-16 padding when the image is shorter than the widened window."""
+    import math
+
+    Cp = -(-C // 4) * 4
+    align = 16 // math.gcd(Cp, 16)
+    window_k = -(-(min(window_h, H) + align - 1) // align) * align
+    if window_k > H:  # whole-image band: keep slice lengths tile-aligned
+        Cp = -(-C // 16) * 16
+        return Cp, 1, min(window_h, H)
+    return Cp, align, window_k
+
+
 def _sample_kernel(
     imgs_ref,  # VMEM (1, H*Cp, W) resident | ANY (V, H*Cp, W) for DMA mode
     x_ref,  # VMEM (1, RB, T) f32
@@ -54,7 +76,10 @@ def _sample_kernel(
     resident: bool,
     w_clip: int,
 ):
-    whC = window_h * Cp
+    align = window_h[1]
+    window_k = window_h[2]
+    window_h = window_h[0]
+    whC = window_k * Cp
     # chunk boundaries must be 128-aligned lane offsets (T is pre-padded to
     # a multiple of 128 by the wrapper)
     mults = [d for d in range(128, T + 1, 128) if T % d == 0] or [T]
@@ -68,7 +93,7 @@ def _sample_kernel(
         jax.lax.broadcasted_iota(jnp.int32, (whC, Tc), 0) // Cp
     ).astype(jnp.float32)
     jx = jax.lax.broadcasted_iota(jnp.int32, (W, Tc), 0).astype(jnp.float32)
-    y_hi = H - window_h
+    y_hi = ((H - window_k) // align) * align
     prec = (
         jax.lax.Precision.HIGHEST
         if cdt == jnp.float32
@@ -76,25 +101,39 @@ def _sample_kernel(
     )
     v = pl.program_id(0)
 
+    def _clip_xy(x, y):
+        if padding_mode == "border":
+            return jnp.clip(x, 0.0, w_clip - 1), jnp.clip(y, 0.0, H - 1)
+        # zeros mode: clamp to a narrow out-of-range band so the
+        # float->int32 window-origin conversion stays well-defined for
+        # behind-camera projections; taps beyond +-1 of any pixel carry
+        # zero triangle weight either way
+        return (
+            jnp.clip(x, -2.0, w_clip + 1.0),
+            jnp.clip(y, -2.0, H + 1.0),
+        )
+
     def chunk_coords(r, c):
         # full-lane row loads with a dynamic sublane index are the only
         # dynamic access pattern Mosaic lowers here; chunking happens on the
-        # loaded array with static offsets
+        # loaded array with static offsets (and clipping after the slice —
+        # Mosaic rejects broadcasting a sliced-after-elementwise layout)
         x = x_ref[0, pl.ds(r, 1), :][:, c * Tc:(c + 1) * Tc]  # (1, Tc)
         y = y_ref[0, pl.ds(r, 1), :][:, c * Tc:(c + 1) * Tc]
-        if padding_mode == "border":
-            x = jnp.clip(x, 0.0, w_clip - 1)
-            y = jnp.clip(y, 0.0, H - 1)
-        else:
-            # zeros mode: clamp to a narrow out-of-range band so the
-            # float->int32 window-origin conversion stays well-defined for
-            # behind-camera projections; taps beyond +-1 of any pixel carry
-            # zero triangle weight either way
-            x = jnp.clip(x, -2.0, w_clip + 1.0)
-            y = jnp.clip(y, -2.0, H + 1.0)
+        x, y = _clip_xy(x, y)
         y0 = jnp.floor(jnp.min(y)).astype(jnp.int32) - 1
-        y0 = jnp.clip(y0, 0, max(y_hi, 0))
+        y0 = jnp.clip((y0 // align) * align, 0, max(y_hi, 0))
         return x, y, y0
+
+    def row_origin(r):
+        # one y-band per ROW (the wrapper's documented exactness condition
+        # is row-level coverage): HBM mode DMAs the band once per row
+        # instead of once per column chunk — 1/n_chunks the HBM traffic
+        _, y = _clip_xy(*(
+            (x_ref[0, pl.ds(r, 1), :], y_ref[0, pl.ds(r, 1), :])
+        ))
+        y0 = jnp.floor(jnp.min(y)).astype(jnp.int32) - 1
+        return jnp.clip((y0 // align) * align, 0, max(y_hi, 0))
 
     def interp(win, x, y, y0):
         ax = jnp.maximum(0.0, 1.0 - jnp.abs(jx - x))  # (W, Tc)
@@ -114,7 +153,9 @@ def _sample_kernel(
             outs = []
             for c in range(n_chunks):
                 x, y, y0 = chunk_coords(r, c)
-                win = imgs_ref[0, pl.ds(pl.multiple_of(y0 * Cp, Cp), whC), :]
+                win = imgs_ref[
+                    0, pl.ds(pl.multiple_of(y0 * Cp, align * Cp), whC), :
+                ]
                 outs.append(interp(win, x, y, y0))
             row = outs[0] if n_chunks == 1 else jnp.concatenate(outs, axis=1)
             out_ref[0, pl.ds(r, 1), :, :] = row[None]
@@ -125,35 +166,31 @@ def _sample_kernel(
 
     band_scratch, band_sem = scratch
 
-    def band_dma(slot, r, c):
-        _, _, y0 = chunk_coords(r, c)
+    def band_dma(slot, r):
+        y0 = row_origin(r)
         return pltpu.make_async_copy(
             imgs_ref.at[
-                pl.ds(v, 1), pl.ds(pl.multiple_of(y0 * Cp, Cp), whC), :
+                pl.ds(v, 1), pl.ds(pl.multiple_of(y0 * Cp, align * Cp), whC), :
             ],
             band_scratch.at[pl.ds(slot, 1)],
             band_sem.at[slot % 2 if isinstance(slot, int) else slot],
         )
 
-    band_dma(0, 0, 0).start()
+    band_dma(0, 0).start()
 
     def row_body(r, carry):
+        slot = r % 2
+        # prefetch the next row's band while this row computes
+        @pl.when(r + 1 < RB)
+        def _prefetch():
+            band_dma((slot + 1) % 2, r + 1).start()
+
+        band_dma(slot, r).wait()
+        band = band_scratch[pl.ds(slot, 1), :, :].reshape(whC, W)
+        y0 = row_origin(r)
         outs = []
         for c in range(n_chunks):
-            slot = (r * n_chunks + c) % 2
-            # prefetch the next chunk's band (next row's first chunk at the
-            # row boundary) while this one computes
-            if c + 1 < n_chunks:
-                band_dma((slot + 1) % 2, r, c + 1).start()
-            else:
-
-                @pl.when(r + 1 < RB)
-                def _prefetch():
-                    band_dma((slot + 1) % 2, r + 1, 0).start()
-
-            band_dma(slot, r, c).wait()
-            x, y, y0 = chunk_coords(r, c)
-            band = band_scratch[pl.ds(slot, 1), :, :].reshape(whC, W)
+            x, y, _ = chunk_coords(r, c)
             outs.append(interp(band, x, y, y0))
         row = outs[0] if n_chunks == 1 else jnp.concatenate(outs, axis=1)
         out_ref[0, pl.ds(r, 1), :, :] = row[None]
@@ -197,9 +234,7 @@ def fused_row_sample(
         x = jnp.pad(x, pad, mode="edge")
         y = jnp.pad(y, pad, mode="edge")
         T = T_k
-    # channel padding so y-window sublane slices are 16-aligned (y0*Cp must
-    # be a multiple of the bf16 sublane tile for any y0)
-    Cp = C if C % 16 == 0 else ((C + 15) // 16) * 16
+    Cp, align, window_k = _pack_geometry(C, window_h, H)
     if Cp != C:
         imgs = jnp.pad(imgs, ((0, 0), (0, 0), (0, 0), (0, Cp - C)))
     # pad width to the lane tile so HBM band-DMA slices are 128-aligned
@@ -210,7 +245,7 @@ def fused_row_sample(
         imgs = jnp.pad(imgs, ((0, 0), (0, 0), (0, W_pad - W), (0, 0)))
         W = W_pad
     window_h = min(window_h, H)
-    whC = window_h * Cp
+    whC = window_k * Cp
 
     # column chunk so the (whC, Tc) temporaries stay ~<=1MB of VMEM
     col_chunk = max(2**20 // (whC * 4), 128)
@@ -239,7 +274,8 @@ def fused_row_sample(
     kernel = functools.partial(
         _sample_kernel,
         H=H, W=W, Cp=Cp, T=T, RB=RB,
-        window_h=window_h, padding_mode=padding_mode, cdt=cdt,
+        window_h=(window_h, align, window_k),
+        padding_mode=padding_mode, cdt=cdt,
         col_chunk=col_chunk, resident=resident, w_clip=W_clip,
     )
     if resident:

@@ -23,15 +23,21 @@ def sync(out):
     return out
 
 
-def timeit(name, fn, *args, iters=3):
+def timeit(name, fn, *args, iters=3, reps=None):
+    """Amortized stage timing: REPS back-to-back dispatches between host
+    syncs, so the per-sync tunnel round-trip (~100ms on the axon remote
+    backend) is divided across reps instead of polluting every sample."""
+    reps = reps or int(os.environ.get("BENCH_REPS", 10))
     t0 = time.perf_counter()
     out = sync(fn(*args))
     compile_s = time.perf_counter() - t0
     ts = []
     for _ in range(iters):
         t0 = time.perf_counter()
-        out = sync(fn(*args))
-        ts.append(time.perf_counter() - t0)
+        for _ in range(reps):
+            out = fn(*args)
+        sync(out)
+        ts.append((time.perf_counter() - t0) / reps)
     print(f"{name:28s} compile {compile_s:6.1f}s  exec {min(ts)*1e3:8.1f}ms",
           flush=True)
     return out
