@@ -57,10 +57,24 @@ def main():
     iters = int(os.environ.get("BENCH_ITERS", 8))
 
     cas = CascadeConfig(k_best=k_best)
-    model = BoostENeRF(cas=cas)
     np_batch = make_scene_batch(
-        B=1, n_views=n_views, H=H, W=W, boost=True, k_best=k_best, seed=0
+        B=1, n_views=n_views, H=H, W=W, boost=True, k_best=k_best, seed=0,
+        rig="forward",  # Free-dataset-like forward trajectory (BASELINE.md)
     )
+    if os.environ.get("BENCH_AUTOTUNE", "1") == "1":
+        # per-scene kernel-window tuning (camera-geometry only; a one-time
+        # setup pass like the reference's view-selection preprocessing)
+        from boostmvsnerfs_tpu.utils.autotune import tune_cascade_windows
+
+        import sys
+
+        cas = tune_cascade_windows(np_batch, cas)
+        print("# autotuned windows:",
+              {"warp_h": cas.pallas_window_h,
+               "img_h": cas.pallas_img_window_h,
+               "img_w": cas.pallas_img_window_w},
+              file=sys.stderr)
+    model = BoostENeRF(cas=cas)
     batch = {k: jnp.asarray(v) for k, v in np_batch.items()}
     # init on CPU with a tiny batch — a full-res model.init would compile
     # the monolithic forward (utils/init_utils.py)
@@ -104,7 +118,7 @@ def main():
 
     from boostmvsnerfs_tpu.utils.roofline import speed_of_light
 
-    sol = speed_of_light(H, W, dt, n_views=n_views, k_best=k_best)
+    sol = speed_of_light(H, W, dt, n_views=n_views, k_best=k_best, cas=cas)
     print(
         json.dumps(
             {

@@ -84,12 +84,22 @@ class CascadeConfig:
     # separable volume resample; 'gather' = XLA gather path (always used for
     # random train rays)
     eval_sampling: str = "pallas"
+    # eval-time NeRF head: 'pallas' = the whole Agg+radiance head as one
+    # fused VMEM kernel (ops/pallas/enerf_head.py — under XLA the head is
+    # HBM-bound on activation round-trips); 'xla' = plain flax math
+    eval_head: str = "pallas"
     img_window_h: tuple = (32, 32)
     # y-band of the fused Pallas sampler. Default matches the XLA full-row
     # bands (img_window_h) — per-chunk bands are strictly tighter than
     # full-row bands, so coverage is at least as good; tune down per dataset
     # after checking ops.sampling.sample_window_coverage
     pallas_img_window_h: tuple = (32, 32)
+    # x-window of the fused Pallas sampler's per-chunk interpolation matmul
+    # (0 = full source width). Cuts the dominant render FLOPs by ~W/window;
+    # exactness is geometry-dependent — tune per scene with
+    # utils.autotune.tune_cascade_windows (checks
+    # ops.pallas.img_sample.row_sample_coverage)
+    pallas_img_window_w: tuple = (0, 0)
     # x tiling of the structured image-feature sampler: rows are split into
     # column tiles of ~img_cols_per_tile pixels, each sampling from a
     # (img_window_h, img_window_w) source patch. 0 = full-width rows (the
@@ -353,11 +363,32 @@ class ENeRF(nn.Module):
         )
         Ns = world_xyz.shape[2]
 
+        from boostmvsnerfs_tpu.ops import pallas as pallas_ops
+
+        # fully fused eval path: Pallas row sampler (raw rows layout) ->
+        # Pallas NeRF head, channels in sublanes end to end — no tensor
+        # with a tiny trailing dim is ever materialized in HBM (TPU tiling
+        # pads a trailing C < 128 up to 16x)
+        use_fused_head = (
+            structured
+            and not train
+            and cas.eval_sampling == "pallas"
+            and cas.eval_head == "pallas"
+            and pallas_ops.pallas_supported()
+        )
+
         # voxel features: normalize uv to [0,1] over the render frame, then
         # scale to volume pixel coords (reference network.py:37-38 +
         # utils.py:458-460)
         d = uvd[..., 2] * (D - 1)
-        if structured:
+        vox_rows = None
+        if use_fused_head:
+            z = d.reshape(B, H_r, W_r, Ns)
+            vox_rows = jax.vmap(sampling.plane_resample_z_rows)(
+                feat_vol, z
+            )  # (B, H_r, Cvox, W_r*Ns)
+            vox_feat = None
+        elif structured:
             # full-raster rays: trilinear factorizes into separable plane
             # resize + z-lerp (exact; see ops/sampling.plane_resample_z)
             z = d.reshape(B, H_r, W_r, Ns)
@@ -381,19 +412,47 @@ class ENeRF(nn.Module):
         rgbs = render.unpreprocess(batch["src_inps"], cas.render_scale[level])
         img_feat_rgb = jnp.concatenate([im_feat, rgbs], axis=-1)  # (B,S,H_r,W_r,C+3)
 
-        img_feat_rgb_dir = self._gather_view_features(
+        gathered = self._gather_view_features(
             world_xyz, img_feat_rgb, batch, cas.render_scale[level],
             window_h=cas.img_window_h[level] if structured else None,
             raster_hw=(H_r, W_r) if structured else None,
             cols_per_tile=cas.img_cols_per_tile[level],
             window_w=cas.img_window_w[level],
             pallas_window_h=cas.pallas_img_window_h[level],
+            pallas_window_w=cas.pallas_img_window_w[level],
             train=train,
-        )  # (B, N, Ns, S, C+3+4)
+            rows_layout=use_fused_head,
+        )
 
-        raw = self.nerf_heads[level](
-            vox_feat, img_feat_rgb_dir
-        )  # (B, N, Ns, 4)
+        if use_fused_head:
+            feat_rows, dirs_rows = gathered  # (B,S,R,Cp,Tp), (B,S,R,4,Tp)
+            T = W_r * Ns
+            T_pad = feat_rows.shape[-1]
+            if vox_rows.shape[-1] != T_pad:
+                vox_rows = jnp.pad(
+                    vox_rows,
+                    ((0, 0), (0, 0), (0, 0), (0, T_pad - vox_rows.shape[-1])),
+                )
+            raw_rows = self.nerf_heads[level].fused(
+                vox_rows, feat_rows, dirs_rows,
+                interpret=pallas_ops.pallas_interpret(),
+            )  # (B, H_r, 4, T_pad)
+            raw = jnp.moveaxis(
+                raw_rows[..., :T].reshape(B, H_r, 4, W_r, Ns), 2, -1
+            ).reshape(B, N, Ns, 4)
+        else:
+            feat_sm, dirs_sm = gathered  # S-major (B, S, N*Ns, C+3 | 4)
+            Cd = feat_sm.shape[-1]
+            img_feat_rgb_dir = jnp.concatenate(
+                [
+                    jnp.moveaxis(feat_sm, 1, 2).reshape(B, N, Ns, S, Cd),
+                    jnp.moveaxis(dirs_sm, 1, 2).reshape(B, N, Ns, S, 4),
+                ],
+                axis=-1,
+            )  # (B, N, Ns, S, C+3+4)
+            raw = self.nerf_heads[level](
+                vox_feat, img_feat_rgb_dir
+            )  # (B, N, Ns, 4)
 
         if return_raw:
             inv_scale = jnp.broadcast_to(
@@ -415,8 +474,9 @@ class ENeRF(nn.Module):
         self, world_xyz, img_feat_rgb, batch, render_scale: float,
         window_h: int | None = None, raster_hw: tuple | None = None,
         cols_per_tile: int = 0, window_w: int = 0,
-        pallas_window_h: int = 16, train: bool = False,
-    ) -> jnp.ndarray:
+        pallas_window_h: int = 16, pallas_window_w: int = 0,
+        train: bool = False, rows_layout: bool = False,
+    ) -> tuple:
         """Project samples into every source view and gather features + RGB +
         ray-difference descriptors (reference lib/networks/enerf/utils.py:753-786).
 
@@ -424,6 +484,12 @@ class ENeRF(nn.Module):
         the gather-free windowed path (ops/sampling.windowed_sample_tiles):
         rows (optionally split into ``cols_per_tile``-column tiles with an
         x window of ``window_w``) sample via MXU triangle-weight matmuls.
+
+        Returns S-major ``(feat (B, S, N*Ns, C+3), dirs (B, S, N*Ns, 4))``.
+        With ``rows_layout`` (fused Pallas sampler + head) the raw
+        channels-in-sublanes row layout is returned instead:
+        ``(feat (B, S, H_r, Cp, T_pad), dirs (B, S, H_r, 4, T_pad))`` with
+        T = W_r*Ns lane-padded — no HBM transpose anywhere on the path.
         """
         B, N, Ns = world_xyz.shape[:3]
         S = img_feat_rgb.shape[1]
@@ -441,7 +507,10 @@ class ENeRF(nn.Module):
             # takes the windowed XLA path (autodiff through dynamic slices)
             and not train
         )
-        pallas_feats = None
+        assert not rows_layout or use_pallas, (
+            "rows_layout requires the fused Pallas sampler path"
+        )
+        feat_sm = None
         if use_pallas:
             from boostmvsnerfs_tpu.ops.pallas.img_sample import (
                 fused_row_sample,
@@ -466,13 +535,20 @@ class ENeRF(nn.Module):
                 padding_mode="border",
                 compute_dtype=jnp.dtype(self.cas.warp_dtype),
                 interpret=pallas_ops.pallas_interpret(),
-            )  # (B*S, H_r, T, C)
-            pallas_feats = sampled.reshape(B, S, N * Ns, -1)
+                window_w=pallas_window_w,
+                raw_layout=rows_layout,
+            )
+            if rows_layout:
+                Cp, T_pad = sampled.shape[-2], sampled.shape[-1]
+                feat_rows = sampled.reshape(B, S, H_r, Cp, T_pad)
+            else:
+                feat_sm = sampled.reshape(B, S, N * Ns, -1)
 
-        per_view = []
+        per_view_feat = [] if not use_pallas else None
+        per_view_dir = []
         for s in range(S):
-            if pallas_feats is not None:
-                feat = pallas_feats[:, s]
+            if use_pallas:
+                feat = None  # the fused sampler already holds the features
             elif raster_hw is not None:
                 ixt = geometry.scale_ixt(batch["src_ixts"][:, s], render_scale)
                 xy, _ = geometry.project_points(
@@ -516,11 +592,27 @@ class ENeRF(nn.Module):
             ray_diff_norm = jnp.linalg.norm(ray_diff, axis=-1, keepdims=True)
             ray_diff_dot = jnp.sum(tar_diff * src_diff, axis=-1, keepdims=True)
             ray_diff_dir = ray_diff / jnp.maximum(ray_diff_norm, 1e-6)
-            per_view.append(
-                jnp.concatenate([feat, ray_diff_dir, ray_diff_dot], axis=-1)
+            per_view_dir.append(
+                jnp.concatenate([ray_diff_dir, ray_diff_dot], axis=-1)
             )
-        out = jnp.stack(per_view, axis=-2)  # (B, N*Ns, S, C+3+4)
-        return out.reshape(B, N, Ns, S, out.shape[-1])
+            if feat is not None:
+                per_view_feat.append(feat)
+        dirs_sm = jnp.stack(per_view_dir, axis=1)  # (B, S, N*Ns, 4)
+        if rows_layout:
+            H_r, W_r = raster_hw
+            T = (N * Ns) // H_r
+            dirs_rows = jnp.swapaxes(
+                dirs_sm.reshape(B, S, H_r, T, 4), -1, -2
+            )  # (B, S, H_r, 4, T)
+            if T_pad != T:
+                dirs_rows = jnp.pad(
+                    dirs_rows,
+                    ((0, 0),) * 4 + ((0, T_pad - T),),
+                )
+            return feat_rows, dirs_rows
+        if feat_sm is None:
+            feat_sm = jnp.stack(per_view_feat, axis=1)  # (B, S, N*Ns, C+3)
+        return feat_sm, dirs_sm
 
     # ------------------------------------------------------------------
     # full forward

@@ -9,6 +9,14 @@ once and broadcast-added, which removes the dominant HBM traffic of
 materializing (N*Ns*S, C) concatenations. Parameters are identical to the
 concatenated nn.Dense (same names/shapes — the kernel is sliced at apply
 time), so checkpoint porting is unaffected.
+
+Two execution paths share one parameter tree:
+
+* ``__call__`` — plain flax/XLA math (training + non-TPU backends).
+* ``fused`` — the whole head as a single Pallas VMEM kernel
+  (ops/pallas/enerf_head.py), taking the per-view features S-major as the
+  fused row sampler produces them; under XLA the head is HBM-bound on its
+  activation round-trips (~50x its roofline at flagship eval scale).
 """
 
 from __future__ import annotations
@@ -33,6 +41,10 @@ class _DenseParams(nn.Module):
         return k, b
 
 
+def _dense(x, k, b):
+    return x @ k + b
+
+
 class Agg(nn.Module):
     """View-aggregation MLP (reference lib/networks/enerf/nerf.py:45-89):
     optional viewdir conditioning, per-view stats (mean/var across views),
@@ -41,15 +53,27 @@ class Agg(nn.Module):
     feat_ch: int
     viewdir_agg: bool = True
 
-    @nn.compact
+    def setup(self):
+        if self.viewdir_agg:
+            self.view_fc = _DenseParams(self.feat_ch, 4)
+        self.global_fc = _DenseParams(32, 3 * self.feat_ch)
+        self.agg_w_fc = _DenseParams(1, 32)
+        self.fc = _DenseParams(16, 32)
+
+    def param_leaves(self):
+        layers = ([self.view_fc] if self.viewdir_agg else []) + [
+            self.global_fc, self.agg_w_fc, self.fc,
+        ]
+        leaves = []
+        for layer in layers:
+            leaves.extend(layer())
+        return leaves
+
     def __call__(self, img_feat_rgb_dir: jnp.ndarray) -> jnp.ndarray:
         # (..., S, feat_ch + 4) -> (..., 16)
         if self.viewdir_agg:
-            view_feat = nn.relu(
-                nn.Dense(self.feat_ch, kernel_init=kaiming, name="view_fc")(
-                    img_feat_rgb_dir[..., -4:]
-                )
-            )
+            kv, bv = self.view_fc()
+            view_feat = nn.relu(_dense(img_feat_rgb_dir[..., -4:], kv, bv))
             img_feat_rgb = img_feat_rgb_dir[..., :-4] + view_feat
         else:
             img_feat_rgb = img_feat_rgb_dir[..., :-4]
@@ -60,16 +84,15 @@ class Agg(nn.Module):
 
         # global_fc over concat([img, var, avg]) with the kernel split: the
         # (var, avg) part is per-sample and broadcast-added across views
-        k, b = _DenseParams(32, 3 * C, name="global_fc")()
+        k, b = self.global_fc()
         stat = var_feat @ k[C:2 * C] + avg_feat @ k[2 * C:] + b  # (.., 1, 32)
         global_feat = nn.relu(img_feat_rgb @ k[:C] + stat)  # (.., S, 32)
 
-        agg_w = jax.nn.softmax(
-            nn.relu(nn.Dense(1, kernel_init=kaiming, name="agg_w_fc")(global_feat)),
-            axis=-2,
-        )
+        ka, ba = self.agg_w_fc()
+        agg_w = jax.nn.softmax(nn.relu(_dense(global_feat, ka, ba)), axis=-2)
         im_feat = jnp.sum(global_feat * agg_w, axis=-2)
-        return nn.relu(nn.Dense(16, kernel_init=kaiming, name="fc")(im_feat))
+        kf, bf = self.fc()
+        return nn.relu(_dense(im_feat, kf, bf))
 
 
 class NeRFHead(nn.Module):
@@ -88,28 +111,68 @@ class NeRFHead(nn.Module):
     # lr0 takes the 16-dim aggregated image feature, vox_feat is ignored)
     use_vox_feat: bool = True
 
-    @nn.compact
+    def setup(self):
+        self.agg = Agg(self.feat_ch, self.viewdir_agg)
+        in_lr0 = 8 + 16 if self.use_vox_feat else 16
+        self.lr0 = _DenseParams(self.hid_n, in_lr0)
+        self.sigma = _DenseParams(1, self.hid_n)
+        self.color0 = _DenseParams(
+            self.hid_n, self.hid_n + in_lr0 + self.feat_ch + 4
+        )
+        self.color1 = _DenseParams(1, self.hid_n)
+
     def __call__(self, vox_feat: jnp.ndarray, img_feat_rgb_dir: jnp.ndarray):
         """vox_feat (..., 8), img_feat_rgb_dir (..., S, feat_ch+4) -> (..., 4)."""
-        img_feat = Agg(self.feat_ch, self.viewdir_agg, name="agg")(img_feat_rgb_dir)
+        img_feat = self.agg(img_feat_rgb_dir)
         if self.use_vox_feat:
             vox_img_feat = jnp.concatenate(
                 [vox_feat, img_feat], axis=-1
             )  # (..., 24)
         else:
             vox_img_feat = img_feat  # (..., 16)
-        x = nn.relu(nn.Dense(self.hid_n, kernel_init=kaiming, name="lr0")(vox_img_feat))
-        sigma = nn.softplus(nn.Dense(1, kernel_init=kaiming, name="sigma")(x))
+        kl, bl = self.lr0()
+        x = nn.relu(_dense(vox_img_feat, kl, bl))
+        ks, bs = self.sigma()
+        sigma = nn.softplus(_dense(x, ks, bs))
 
         # color0 over concat([x, vox_img_feat] broadcast to S, per-view
         # features) with the kernel split: the per-sample part runs once
         xi = jnp.concatenate([x, vox_img_feat], axis=-1)  # (..., hid+24)
         Dx = xi.shape[-1]
-        Dv = img_feat_rgb_dir.shape[-1]
-        k, b = _DenseParams(self.hid_n, Dx + Dv, name="color0")()
+        k, b = self.color0()
         base = xi @ k[:Dx] + b  # (..., hid)
         w = nn.relu(base[..., None, :] + img_feat_rgb_dir @ k[Dx:])
-        w = nn.relu(nn.Dense(1, kernel_init=kaiming, name="color1")(w))
+        kc1, bc1 = self.color1()
+        w = nn.relu(_dense(w, kc1, bc1))
         color_weight = jax.nn.softmax(w, axis=-2)
         color = jnp.sum(img_feat_rgb_dir[..., -7:-4] * color_weight, axis=-2)
         return jnp.concatenate([color, sigma], axis=-1)
+
+    def fused(
+        self,
+        vox_rows: jnp.ndarray | None,  # (B, R, 8, T) or None
+        feat_rows: jnp.ndarray,  # (B, S, R, Cp, T) channels-in-sublanes;
+        # true channels = feat_ch, zero-padded to Cp (the fused row
+        # sampler's raw_layout output — no transpose in between)
+        dirs_rows: jnp.ndarray,  # (B, S, R, 4, T)
+        interpret: bool = False,
+        row_block: int = 8,
+    ) -> jnp.ndarray:
+        """Same head as one fused Pallas kernel; returns (B, R, 4, T)."""
+        from boostmvsnerfs_tpu.ops.pallas.enerf_head import fused_nerf_head
+
+        leaves = self.agg.param_leaves()
+        for layer in (self.lr0, self.sigma, self.color0, self.color1):
+            leaves.extend(layer())
+        return fused_nerf_head(
+            tuple(leaves),
+            vox_rows if self.use_vox_feat else None,
+            feat_rows,
+            dirs_rows,
+            C=self.feat_ch,
+            viewdir_agg=self.viewdir_agg,
+            use_vox_feat=self.use_vox_feat,
+            hid_n=self.hid_n,
+            row_block=row_block,
+            interpret=interpret,
+        )

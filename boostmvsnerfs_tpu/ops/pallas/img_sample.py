@@ -36,6 +36,15 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 
+def _col_chunk_size(T: int, col_chunk: int) -> int:
+    """In-kernel column chunk: the largest 128-multiple divisor of T at most
+    ``col_chunk`` (T is pre-padded to a multiple of 128 by the wrapper, so
+    chunk boundaries land on aligned lane offsets)."""
+    mults = [d for d in range(128, T + 1, 128) if T % d == 0] or [T]
+    cap = max(col_chunk, 128) if col_chunk else T
+    return max([d for d in mults if d <= cap] or [min(mults)])
+
+
 def _pack_geometry(C: int, window_h: int, H: int):
     """(Cp, align, window_k): channel padding + window-origin alignment.
 
@@ -75,25 +84,24 @@ def _sample_kernel(
     col_chunk: int,
     resident: bool,
     w_clip: int,
+    Wx: int,  # x-window width (128-multiple) or 0 = full source width
 ):
     align = window_h[1]
     window_k = window_h[2]
     window_h = window_h[0]
     whC = window_k * Cp
-    # chunk boundaries must be 128-aligned lane offsets (T is pre-padded to
-    # a multiple of 128 by the wrapper)
-    mults = [d for d in range(128, T + 1, 128) if T % d == 0] or [T]
-    cap = max(col_chunk, 128) if col_chunk else T
-    Tc = max([d for d in mults if d <= cap] or [min(mults)])
+    Tc = _col_chunk_size(T, col_chunk)
     n_chunks = T // Tc
+    Wk = Wx or W  # x extent of the interpolation contraction
     chan = jax.lax.broadcasted_iota(jnp.int32, (Cp, whC), 0)
     lane = jax.lax.broadcasted_iota(jnp.int32, (Cp, whC), 1)
     sel = (lane % Cp == chan).astype(cdt)  # (Cp, whC)
     yoff = (
         jax.lax.broadcasted_iota(jnp.int32, (whC, Tc), 0) // Cp
     ).astype(jnp.float32)
-    jx = jax.lax.broadcasted_iota(jnp.int32, (W, Tc), 0).astype(jnp.float32)
+    jx = jax.lax.broadcasted_iota(jnp.int32, (Wk, Tc), 0).astype(jnp.float32)
     y_hi = ((H - window_k) // align) * align
+    x_hi = max(W - Wk, 0)
     prec = (
         jax.lax.Precision.HIGHEST
         if cdt == jnp.float32
@@ -123,7 +131,14 @@ def _sample_kernel(
         x, y = _clip_xy(x, y)
         y0 = jnp.floor(jnp.min(y)).astype(jnp.int32) - 1
         y0 = jnp.clip((y0 // align) * align, 0, max(y_hi, 0))
-        return x, y, y0
+        if Wx:
+            # per-chunk x-window origin, 128-lane aligned (the x contraction
+            # then spans Wx instead of the full source width)
+            x0 = jnp.floor(jnp.min(x)).astype(jnp.int32) - 1
+            x0 = jnp.clip((x0 // 128) * 128, 0, x_hi)
+        else:
+            x0 = jnp.zeros((), jnp.int32)
+        return x, y, y0, x0
 
     def row_origin(r):
         # one y-band per ROW (the wrapper's documented exactness condition
@@ -135,8 +150,11 @@ def _sample_kernel(
         y0 = jnp.floor(jnp.min(y)).astype(jnp.int32) - 1
         return jnp.clip((y0 // align) * align, 0, max(y_hi, 0))
 
-    def interp(win, x, y, y0):
-        ax = jnp.maximum(0.0, 1.0 - jnp.abs(jx - x))  # (W, Tc)
+    def interp(win, x, y, y0, x0):
+        # win is the (whC, Wk) slice starting at lane x0 (x0 = 0 when Wx off)
+        ax = jnp.maximum(
+            0.0, 1.0 - jnp.abs(jx + x0.astype(jnp.float32) - x)
+        )  # (Wk, Tc)
         tmp = jnp.dot(
             win, ax.astype(cdt), preferred_element_type=jnp.float32,
             precision=prec,
@@ -152,11 +170,13 @@ def _sample_kernel(
         def row_body(r, _):
             outs = []
             for c in range(n_chunks):
-                x, y, y0 = chunk_coords(r, c)
-                win = imgs_ref[
-                    0, pl.ds(pl.multiple_of(y0 * Cp, align * Cp), whC), :
-                ]
-                outs.append(interp(win, x, y, y0))
+                x, y, y0, x0 = chunk_coords(r, c)
+                ysl = pl.ds(pl.multiple_of(y0 * Cp, align * Cp), whC)
+                if Wx:
+                    win = imgs_ref[0, ysl, pl.ds(pl.multiple_of(x0, 128), Wx)]
+                else:
+                    win = imgs_ref[0, ysl, :]
+                outs.append(interp(win, x, y, y0, x0))
             row = outs[0] if n_chunks == 1 else jnp.concatenate(outs, axis=1)
             out_ref[0, pl.ds(r, 1), :, :] = row[None]
             return _
@@ -186,12 +206,17 @@ def _sample_kernel(
             band_dma((slot + 1) % 2, r + 1).start()
 
         band_dma(slot, r).wait()
-        band = band_scratch[pl.ds(slot, 1), :, :].reshape(whC, W)
         y0 = row_origin(r)
         outs = []
         for c in range(n_chunks):
-            x, y, _ = chunk_coords(r, c)
-            outs.append(interp(band, x, y, y0))
+            x, y, _, x0 = chunk_coords(r, c)
+            if Wx:
+                band = band_scratch[
+                    pl.ds(slot, 1), :, pl.ds(pl.multiple_of(x0, 128), Wx)
+                ].reshape(whC, Wx)
+            else:
+                band = band_scratch[pl.ds(slot, 1), :, :].reshape(whC, W)
+            outs.append(interp(band, x, y, y0, x0))
         row = outs[0] if n_chunks == 1 else jnp.concatenate(outs, axis=1)
         out_ref[0, pl.ds(r, 1), :, :] = row[None]
         return carry
@@ -203,6 +228,7 @@ def _sample_kernel(
     jax.jit,
     static_argnames=(
         "window_h", "padding_mode", "row_block", "compute_dtype", "interpret",
+        "window_w", "raw_layout",
     ),
 )
 def fused_row_sample(
@@ -214,11 +240,24 @@ def fused_row_sample(
     row_block: int = 0,
     compute_dtype=jnp.bfloat16,
     interpret: bool = False,
+    window_w: int = 0,
+    raw_layout: bool = False,
 ) -> jnp.ndarray:
     """Bilinear-sample ``imgs`` at per-row smooth coordinate curves.
 
     Returns (V, R, T, C). Matches ops/sampling.grid_sample_2d per sample when
-    each row-chunk's valid taps fit its y-band.
+    each row-chunk's valid taps fit its y-band — and, with ``window_w`` > 0,
+    its per-chunk x-window of that many source columns (rounded up to the
+    128-lane tile; 0 = contract over the full source width). The x-window
+    cuts the dominant interpolation matmul's contraction from W to
+    ~window_w; validate per geometry with ``row_sample_coverage``.
+
+    With ``raw_layout`` the kernel's native output is returned untouched:
+    (V, R, Cp, T_pad) — channels (zero-padded to Cp) in sublanes, the
+    (padded) sample axis in lanes. This is the TPU-friendly layout (a
+    trailing C < 128 pads 16x in HBM) consumed directly by the fused NeRF
+    head (ops/pallas/enerf_head.py); padding geometry via
+    ``row_sample_packing``.
     """
     V, H, W, C = imgs.shape
     _, R, T = x.shape
@@ -246,6 +285,11 @@ def fused_row_sample(
         W = W_pad
     window_h = min(window_h, H)
     whC = window_k * Cp
+    # x-window: round up to the lane tile; keep off when it cannot shrink
+    # the contraction below the (padded) source width
+    Wx = -(-window_w // 128) * 128 if window_w else 0
+    if Wx >= W or Wx >= -(-W // 128) * 128:
+        Wx = 0
 
     # column chunk so the (whC, Tc) temporaries stay ~<=1MB of VMEM
     col_chunk = max(2**20 // (whC * 4), 128)
@@ -276,7 +320,7 @@ def fused_row_sample(
         H=H, W=W, Cp=Cp, T=T, RB=RB,
         window_h=(window_h, align, window_k),
         padding_mode=padding_mode, cdt=cdt,
-        col_chunk=col_chunk, resident=resident, w_clip=W_clip,
+        col_chunk=col_chunk, resident=resident, w_clip=W_clip, Wx=Wx,
     )
     if resident:
         img_spec = pl.BlockSpec(
@@ -314,4 +358,77 @@ def fused_row_sample(
         scratch_shapes=scratch_shapes,
         interpret=interpret,
     )(imgs_t, x.astype(jnp.float32), y.astype(jnp.float32))
+    if raw_layout:
+        return out  # (V, R, Cp, T_pad)
     return jnp.moveaxis(out[:, :, :, :T_in], 2, -1)[..., :C]  # (V, R, T, C)
+
+
+def row_sample_packing(C: int, window_h: int, H: int, T: int):
+    """(Cp, T_pad) of the kernel's raw output layout for given inputs."""
+    Cp, _, _ = _pack_geometry(C, window_h, H)
+    return Cp, -(-T // 128) * 128
+
+
+def row_sample_coverage(
+    img_shape,  # (H, W, C)
+    x: jnp.ndarray,  # (..., R, T) source x coords per output row
+    y: jnp.ndarray,  # (..., R, T)
+    window_h: int,
+    window_w: int = 0,
+    padding_mode: str = "border",
+) -> jnp.ndarray:
+    """Fraction of valid bilinear taps outside the kernel's windows
+    (0.0 = ``fused_row_sample`` exact for this geometry and window config).
+
+    Mirrors the kernel's chunking and aligned window origins: the y check
+    uses row-level unaligned origins (conservative — the kernel's aligned
+    window_k band always covers the simple window_h band), while the x check
+    reproduces the per-chunk 128-lane-aligned origin exactly (align-down can
+    end the window earlier than an unaligned one, so a simple check would
+    not be conservative there)."""
+    from boostmvsnerfs_tpu.ops import sampling
+
+    H, W, C = img_shape
+    R, T = x.shape[-2], x.shape[-1]
+    x = jnp.reshape(x, (-1, T))
+    y = jnp.reshape(y, (-1, T))
+    Cp, align, window_k = _pack_geometry(C, window_h, H)
+    whC = window_k * Cp
+    W_pad = -(-W // 128) * 128
+    Wx = -(-window_w // 128) * 128 if window_w else 0
+    if Wx >= W_pad:
+        Wx = 0
+    T_k = -(-T // 128) * 128
+    if T_k != T:
+        pad = ((0, 0), (0, T_k - T))
+        x = jnp.pad(x, pad, mode="edge")
+        y = jnp.pad(y, pad, mode="edge")
+    col_chunk = max(2**20 // (whC * 4), 128)
+    Tc = _col_chunk_size(T_k, col_chunk)
+    n_chunks = T_k // Tc
+
+    if padding_mode == "border":
+        x = jnp.clip(x, 0.0, W - 1)
+        y = jnp.clip(y, 0.0, H - 1)
+    else:
+        x = jnp.clip(x, -2.0, W + 1.0)
+        y = jnp.clip(y, -2.0, H + 1.0)
+
+    window_hh = min(window_h, H)
+    y0 = jnp.clip(
+        jnp.floor(jnp.min(y, axis=-1)).astype(jnp.int32) - 1,
+        0, H - window_hh,
+    )[:, None]  # (rows, 1) row-level origin
+    xc = x.reshape(-1, n_chunks, Tc)
+    yc = y.reshape(-1, n_chunks, Tc)
+    y0c = jnp.broadcast_to(y0, (y0.shape[0], n_chunks))[..., None]
+    if Wx:
+        x0 = jnp.floor(jnp.min(xc, axis=-1)).astype(jnp.int32) - 1
+        x0 = jnp.clip((x0 // 128) * 128, 0, max(W_pad - Wx, 0))[..., None]
+        win_w = Wx
+    else:
+        x0 = jnp.zeros((xc.shape[0], n_chunks, 1), jnp.int32)
+        win_w = W_pad
+    return sampling.tap_miss_fraction(
+        xc, yc, x0, y0c, window_hh, win_w, H, W
+    )

@@ -401,3 +401,35 @@ def plane_resample_z(
         )  # (H, W, S)
         out = out + w[..., None] * planes[d][:, :, None, :]
     return out
+
+
+def plane_resample_z_rows(
+    vol: jnp.ndarray,  # (D, Hv, Wv, C)
+    z: jnp.ndarray,  # (H_out, W_out, S) per-pixel z coords in [0, D-1]
+) -> jnp.ndarray:
+    """``plane_resample_z`` emitting the TPU-friendly rows layout
+    (H_out, C, W_out*S) — channels in sublanes, the (pixel, sample) axis in
+    lanes. A trailing C < 128 pads up to 16x in TPU HBM tiling, so this is
+    the layout the fused NeRF head (ops/pallas/enerf_head.py) consumes;
+    numerics (incl. the floor-based z-lerp subgradient convention) are
+    identical to plane_resample_z."""
+    D, Hv, Wv, C = vol.shape
+    H_out, W_out, S = z.shape
+    # resize each (d, c) plane with channels ahead of the spatial dims so no
+    # intermediate carries a tiny trailing dim
+    planes = resize_bilinear_2d(
+        jnp.moveaxis(vol, 3, 1).reshape(D * C, Hv, Wv), H_out, W_out
+    ).reshape(D, C, H_out, W_out)
+    planes = jnp.moveaxis(planes, 2, 1)  # (D, H, C, W)
+    z0 = jnp.floor(z)
+    tz = z - z0
+    # lane order: pixel-major, sample-minor (matches T = W_r * Ns)
+    z0r = z0.reshape(H_out, 1, W_out * S)
+    tzr = tz.reshape(H_out, 1, W_out * S)
+    out = jnp.zeros((H_out, C, W_out * S), vol.dtype)
+    for d in range(D):
+        w = jnp.where(z0r == d, 1.0 - tzr, 0.0) + jnp.where(
+            z0r == d - 1, tzr, 0.0
+        )  # (H, 1, W*S)
+        out = out + w * jnp.repeat(planes[d], S, axis=-1)
+    return out

@@ -69,6 +69,36 @@ class StagedENeRF:
                 for i in range(self.cas.num)
             }
 
+            # one dispatch per level for the boost hot path: the K raw
+            # renders and the cross-K blend fuse into a single program, so
+            # the (B*K, N, S, 4) raws never cross a dispatch boundary
+            def render_blend_stage(level, K, v, feats, feat_vol, depth, std,
+                                   nf_map, batch, ray_idx):
+                raw_out = m.apply(
+                    v, level, feats, feat_vol, depth, std, nf_map, batch,
+                    ray_idx, False, True, method=ENeRF.render_level,
+                )
+                BK = raw_out["net_output"].shape[0]
+                B = BK // K
+
+                def unfold(a):
+                    return a.reshape(B, K, *a.shape[1:])
+
+                raws = unfold(raw_out["net_output"])
+                masks = unfold(raw_out["mask"])
+                zs = unfold(raw_out["z_vals"])
+                depth0 = unfold(depth)[:, 0]
+                std0 = unfold(std)[:, 0]
+                return self._blend_fn(
+                    raws, masks, zs, depth0, std0,
+                    inv=self.cas.depth_inv[level],
+                )
+
+            self._render_blend = {
+                i: jax.jit(partial(render_blend_stage, i, self.cas.k_best))
+                for i in range(self.cas.num)
+            }
+
     @staticmethod
     def _mask_composite_fn(mask, n_samples: int):
         """Composite per-sample visibility into a coverage image (reference
@@ -182,18 +212,10 @@ class StagedENeRF:
             prev = (depth, std, nf_map)
             if not cas.render_if[i]:
                 continue
-            raw_out = self._render[(i, True)](
+            out = self._render_blend[i](
                 variables, feats, feat_vol, depth, std, nf_map,
                 _render_batch(sub), rep(batch[f"ray_idx_{i}"]),
             )
-            raws = raw_out["net_output"].reshape(
-                B, K, *raw_out["net_output"].shape[1:]
-            )
-            masks = raw_out["mask"].reshape(B, K, *raw_out["mask"].shape[1:])
-            zs = raw_out["z_vals"].reshape(B, K, *raw_out["z_vals"].shape[1:])
-            depth0 = depth.reshape(B, K, *depth.shape[1:])[:, 0]
-            std0 = std.reshape(B, K, *std.shape[1:])[:, 0]
-            out = self._blend[i](raws, masks, zs, depth0, std0)
             ret.update({f"{k}_level{i}": v for k, v in out.items()})
         return ret
 

@@ -82,9 +82,10 @@ def tune_warp_window(batch: dict, cas, level: int,
     return _min_window(miss, candidates, cas.pallas_window_h[level])
 
 
-def tune_img_window(batch: dict, cas, level: int,
-                    candidates=CANDIDATES) -> int:
-    """Minimal exact y-band of the render-stage row sampler at ``level``."""
+def _img_spans(batch: dict, cas, level: int):
+    """Projected source-view coordinate curves of the full target raster at
+    ``level``, sampled at the scene depth endpoints: (H_r, W_r*2, 2) per
+    (batch, view) pair — the input to both window-coverage checkers."""
     src_inps = np.asarray(batch["src_inps"])
     B, S, H, W = src_inps.shape[:4]
     r_s = cas.render_scale[level]
@@ -95,7 +96,6 @@ def tune_img_window(batch: dict, cas, level: int,
     xy = geometry.flat_idx_to_xy(idx, W_r)  # (1, N, 2)
     nf = _endpoint_depths(np.asarray(batch["near_far"])[0])
 
-    worst = np.zeros((), np.float32)
     spans = []
     for b in range(B):
         tar_ixt_r = geometry.scale_ixt(
@@ -116,6 +116,13 @@ def tune_img_window(batch: dict, cas, level: int,
                 pts, jnp.asarray(batch["src_exts"][b : b + 1, s]), ixt
             )
             spans.append(sxy.reshape(H_r, W_r * 2, 2))
+    return spans, (H_r, W_r)
+
+
+def tune_img_window(batch: dict, cas, level: int,
+                    candidates=CANDIDATES) -> int:
+    """Minimal exact y-band of the render-stage row sampler at ``level``."""
+    spans, (H_r, W_r) = _img_spans(batch, cas, level)
 
     def miss(w):
         m = 0.0
@@ -128,6 +135,42 @@ def tune_img_window(batch: dict, cas, level: int,
     return _min_window(miss, candidates, cas.pallas_img_window_h[level])
 
 
+# x-window candidates are 128-lane multiples (the kernel rounds up anyway)
+X_CANDIDATES = (128, 256, 384, 512, 768, 1024)
+
+
+def tune_img_window_w(batch: dict, cas, level: int, window_h: int,
+                      candidates=X_CANDIDATES) -> int:
+    """Minimal exact x-window of the fused row sampler's per-chunk
+    interpolation matmul at ``level`` (0 = full width when none fits).
+
+    Uses the kernel's own coverage checker
+    (ops.pallas.img_sample.row_sample_coverage), which reproduces the
+    column chunking and the 128-lane-aligned window origins."""
+    from boostmvsnerfs_tpu.ops.pallas.img_sample import row_sample_coverage
+
+    spans, (H_r, W_r) = _img_spans(batch, cas, level)
+    # render-scale feature maps have C+3 channels (feat + RGB)
+    C = (32, 16, 8)[cas.render_im_feat_level[level]] + 3
+    W_pad = -(-W_r // 128) * 128
+
+    def miss(w):
+        m = 0.0
+        for sxy in spans:
+            m = max(m, float(row_sample_coverage(
+                (H_r, W_r, C), sxy[..., 0], sxy[..., 1], window_h, w,
+                padding_mode="border",
+            )))
+        return m
+
+    for w in candidates:
+        if w >= W_pad:
+            break
+        if miss(w) == 0.0:
+            return w
+    return 0
+
+
 def tune_cascade_windows(batch: dict, cas, margin: int = 0):
     """Re-tune every per-level Pallas/windowed kernel window for the scene
     geometry in ``batch`` (uses src/tar cameras + scene near_far only).
@@ -135,15 +178,26 @@ def tune_cascade_windows(batch: dict, cas, margin: int = 0):
     ``margin`` adds rows of safety when tuning from a subset of target
     views (0 = exact for exactly these cameras). Returns a new
     CascadeConfig."""
+    import jax
+
     warp = []
     img = []
-    for i in range(cas.num):
-        warp.append(tune_warp_window(batch, cas, i) + margin)
-        img.append(tune_img_window(batch, cas, i) + margin)
+    img_w = []
+    # camera-geometry math only — run on host CPU so tuning never pays
+    # (remote) TPU compiles for dozens of tiny programs
+    with jax.default_device(jax.devices("cpu")[0]):
+        for i in range(cas.num):
+            warp.append(tune_warp_window(batch, cas, i) + margin)
+            img.append(tune_img_window(batch, cas, i) + margin)
+            # x-windows shrink the dominant sample-stage matmul; margin
+            # scales by the lane tile (origins are 128-aligned)
+            w = tune_img_window_w(batch, cas, i, img[-1])
+            img_w.append(w + 128 * (margin > 0) if w else 0)
     return dataclasses.replace(
         cas,
         pallas_window_h=tuple(warp),
         warp_window_h=tuple(max(w, x) for w, x in zip(warp, cas.warp_window_h)),
         pallas_img_window_h=tuple(img),
         img_window_h=tuple(img),
+        pallas_img_window_w=tuple(img_w),
     )

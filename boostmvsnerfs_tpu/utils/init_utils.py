@@ -43,6 +43,8 @@ def _cpu_init_model(model):
             repl["warp_mode"] = "windowed"
         if getattr(cas, "eval_sampling", None) == "pallas":
             repl["eval_sampling"] = "structured"
+        if getattr(cas, "eval_head", None) == "pallas":
+            repl["eval_head"] = "xla"
         if repl:
             return model.clone(cas=dataclasses.replace(cas, **repl))
         return model

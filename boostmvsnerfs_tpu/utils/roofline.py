@@ -62,12 +62,16 @@ def costreg_flops(D, Hv, Wv, cin, deep: bool):
     return f
 
 
-def img_sample_flops(H_r, W_r, Ns, Hs, Ws, Cp, window_h, n_cv, s_cv):
+def img_sample_flops(H_r, W_r, Ns, Hs, Ws, Cp, window_h, n_cv, s_cv,
+                     window_w=0):
     """Fused row sampler (ops/pallas/img_sample.py): per target row one
-    (window_h*Cp, Ws) x (Ws, T) matmul + the channel selection, T = W_r*Ns."""
+    (window_h*Cp, Wk) x (Wk, T) matmul + the channel selection, T = W_r*Ns;
+    Wk = the per-chunk x-window (lane-padded source width when 0)."""
     whc = window_h * Cp
     T = W_r * Ns
-    per_row = 2 * whc * Ws * T + 2 * Cp * whc * T
+    ws_pad = -(-Ws // 128) * 128
+    wk = min(-(-window_w // 128) * 128, ws_pad) if window_w else ws_pad
+    per_row = 2 * whc * wk * T + 2 * Cp * whc * T
     return n_cv * s_cv * H_r * per_row
 
 
@@ -134,7 +138,8 @@ def flagship_render_costs(H, W, n_views=6, k_best=4, s_cv=3, cas=None):
     Ns1 = cas.num_samples[1]
     stages["sample1"] = Roofline(
         img_sample_flops(H, W, Ns1, H, W, 16, cas.pallas_img_window_h[1],
-                         k_best, s_cv),
+                         k_best, s_cv,
+                         window_w=cas.pallas_img_window_w[1]),
         k_best * (s_cv * H * W * 16 * 2.0
                   + H * W * Ns1 * s_cv * 16 * 4.0),
     )
@@ -146,7 +151,8 @@ def flagship_render_costs(H, W, n_views=6, k_best=4, s_cv=3, cas=None):
     Ns0 = cas.num_samples[0]
     stages["sample0"] = Roofline(
         img_sample_flops(H // 4, W // 4, Ns0, H // 4, W // 4, 48,
-                         cas.pallas_img_window_h[0], k_best, s_cv),
+                         cas.pallas_img_window_h[0], k_best, s_cv,
+                         window_w=cas.pallas_img_window_w[0]),
         k_best * (s_cv * (H // 4) * (W // 4) * 48 * 2.0
                   + (H // 4) * (W // 4) * Ns0 * s_cv * 48 * 4.0),
     )

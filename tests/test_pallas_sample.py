@@ -78,3 +78,73 @@ def test_fused_row_sample_bf16_close(rng):
     )(imgs, xy).reshape(V, R, T, -1)
     err = np.abs(np.asarray(got) - np.asarray(want))
     assert err.mean() < 0.02
+
+
+def test_fused_row_sample_x_window_resident(rng):
+    """Per-chunk x-windows (resident mode): exact when the coverage checker
+    reports zero missed taps."""
+    from boostmvsnerfs_tpu.ops.pallas.img_sample import row_sample_coverage
+
+    V, H, W, C, R, T = 2, 48, 512, 5, 6, 128
+    imgs = jnp.asarray(rng.standard_normal((V, H, W, C)).astype(np.float32))
+    # rows hover around different x bands, each spanning < 100 columns
+    base = 140.0 + 37.0 * np.arange(R) % 250
+    xs = base[None, :, None] + np.linspace(0, 90, T)[None, None] + rng.normal(
+        0, 0.5, (V, R, T)
+    )
+    ys = 3.0 * np.arange(R)[None, :, None] + rng.normal(0, 0.3, (V, R, T))
+    x = jnp.asarray(xs.astype(np.float32))
+    y = jnp.asarray(ys.astype(np.float32))
+    # the 128-lane-aligned origin can start up to 127 columns before the
+    # span, so the window must cover span + alignment slack
+    miss = row_sample_coverage((H, W, C), x, y, 8, 256, "border")
+    assert float(miss) == 0.0
+    got = fused_row_sample(
+        imgs, x, y, window_h=8, padding_mode="border",
+        compute_dtype=jnp.float32, interpret=INTERPRET, window_w=256,
+    )
+    xy = jnp.stack([x, y], axis=-1).reshape(V, R * T, 2)
+    want = jax.vmap(
+        lambda im, c: sampling.grid_sample_2d(im, c, "border")
+    )(imgs, xy).reshape(V, R, T, -1)
+    np.testing.assert_allclose(
+        np.asarray(got), np.asarray(want), rtol=1e-4, atol=1e-5
+    )
+
+
+def test_fused_row_sample_x_window_dma(rng):
+    """x-windows compose with the HBM band-DMA mode."""
+    V, H, W, C, R, T = 1, 512, 640, 16, 8, 64
+    imgs = jnp.asarray(rng.standard_normal((V, H, W, C)).astype(np.float32))
+    base = 100.0 + 20.0 * np.arange(R)
+    xs = base[None, :, None] + np.linspace(0, 50, T)[None, None]
+    ys = 40.0 + 30.0 * np.arange(R)[None, :, None] + rng.normal(
+        0, 1.0, (V, R, T)
+    )
+    x = jnp.asarray(xs.astype(np.float32))
+    y = jnp.asarray(ys.astype(np.float32))
+    got = fused_row_sample(
+        imgs, x, y, window_h=8, padding_mode="border",
+        compute_dtype=jnp.float32, interpret=INTERPRET, window_w=256,
+    )
+    xy = jnp.stack([x, y], axis=-1).reshape(V, R * T, 2)
+    want = jax.vmap(
+        lambda im, c: sampling.grid_sample_2d(im, c, "border")
+    )(imgs, xy).reshape(V, R, T, -1)
+    np.testing.assert_allclose(
+        np.asarray(got), np.asarray(want), rtol=1e-4, atol=1e-5
+    )
+
+
+def test_row_sample_coverage_flags_narrow_x_window(rng):
+    """Coverage must report misses when the x span exceeds the window (the
+    aligned origin can also end the window early — checked implicitly)."""
+    from boostmvsnerfs_tpu.ops.pallas.img_sample import row_sample_coverage
+
+    H, W, C, R, T = 48, 512, 5, 4, 128
+    xs = 100.0 + np.linspace(0, 300, T)[None, None] * np.ones((1, R, 1))
+    ys = 3.0 * np.arange(R)[None, :, None] * np.ones((1, 1, T))
+    x = jnp.asarray(xs.astype(np.float32))
+    y = jnp.asarray(ys.astype(np.float32))
+    assert float(row_sample_coverage((H, W, C), x, y, 8, 128, "border")) > 0
+    assert float(row_sample_coverage((H, W, C), x, y, 8, 0, "border")) == 0.0
