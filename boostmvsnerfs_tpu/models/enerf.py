@@ -503,9 +503,6 @@ class ENeRF(nn.Module):
             raster_hw is not None
             and self.cas.eval_sampling == "pallas"
             and pallas_ops.pallas_supported()
-            # the fused row sampler has no VJP yet: full-image training
-            # takes the windowed XLA path (autodiff through dynamic slices)
-            and not train
         )
         assert not rows_layout or use_pallas, (
             "rows_layout requires the fused Pallas sampler path"
@@ -529,15 +526,25 @@ class ENeRF(nn.Module):
             x_all = jnp.stack(xs, 1).reshape(B * S, H_r, T)
             y_all = jnp.stack(ys, 1).reshape(B * S, H_r, T)
             imgs = img_feat_rgb.reshape(B * S, Hf, Wf, -1)
-            sampled = fused_row_sample(
-                imgs, x_all, y_all,
-                window_h=pallas_window_h,
-                padding_mode="border",
-                compute_dtype=jnp.dtype(self.cas.warp_dtype),
-                interpret=pallas_ops.pallas_interpret(),
-                window_w=pallas_window_w,
-                raw_layout=rows_layout,
-            )
+            if train:
+                # custom-VJP wrapper: Pallas forward AND backward (float32,
+                # like the warp kernel) — gradients reach the image features
+                # and, through x/y, the projected depth
+                sampled = pallas_ops.fused_row_sample_diff(
+                    imgs, x_all, y_all,
+                    pallas_window_h, "border",
+                    pallas_ops.pallas_interpret(), pallas_window_w,
+                )
+            else:
+                sampled = fused_row_sample(
+                    imgs, x_all, y_all,
+                    window_h=pallas_window_h,
+                    padding_mode="border",
+                    compute_dtype=jnp.dtype(self.cas.warp_dtype),
+                    interpret=pallas_ops.pallas_interpret(),
+                    window_w=pallas_window_w,
+                    raw_layout=rows_layout,
+                )
             if rows_layout:
                 Cp, T_pad = sampled.shape[-2], sampled.shape[-1]
                 feat_rows = sampled.reshape(B, S, H_r, Cp, T_pad)

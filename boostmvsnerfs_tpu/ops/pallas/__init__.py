@@ -4,6 +4,10 @@ import os
 
 import jax
 
+from boostmvsnerfs_tpu.ops.pallas.img_sample import (  # noqa: F401
+    fused_row_sample,
+    fused_row_sample_diff,
+)
 from boostmvsnerfs_tpu.ops.pallas.warp_variance import (  # noqa: F401
     fused_warp_variance,
     fused_warp_variance_diff,

@@ -363,6 +363,334 @@ def fused_row_sample(
     return jnp.moveaxis(out[:, :, :, :T_in], 2, -1)[..., :C]  # (V, R, T, C)
 
 
+def _sample_bwd_kernel(
+    imgs_ref,  # ANY (V, H*Cp, W) f32 — source maps (HBM)
+    x_ref,  # VMEM (1, RB, T) f32
+    y_ref,  # VMEM (1, RB, T) f32
+    g_ref,  # VMEM (1, RB, Cp, T) f32 — output cotangent, kernel layout
+    _alias_ref,  # ANY (V, H*Cp, W) f32 — aliased to dimgs_ref (zeros in)
+    dimgs_ref,  # ANY (V, H*Cp, W) f32 — accumulated via band RMW
+    dx_ref,  # VMEM (1, RB, T) f32
+    dy_ref,  # VMEM (1, RB, T) f32
+    ibuf,  # VMEM scratch (1, whC, W) f32 — source band
+    dbuf,  # VMEM scratch (1, whC, W) f32 — gradient band
+    sems,  # DMA semaphores (3,)
+    *,
+    H: int,
+    W: int,
+    Cp: int,
+    T: int,
+    RB: int,
+    window_h,  # (window_h, align, window_k)
+    padding_mode: str,
+    col_chunk: int,
+    w_clip: int,
+    Wx: int,
+):
+    """Backward of ``fused_row_sample`` (see the forward kernel above).
+
+    Per target row: recompute the forward's triangle weights (float32,
+    HIGHEST precision — identical to the training forward) and emit
+
+    * d_imgs via the transposed interpolation matmuls, accumulated with a
+      read-modify-write of the row's y-band in HBM (bands of consecutive
+      rows overlap, and grid steps run sequentially on the core, so the
+      serialized read -> add -> write per row is race-free at any image
+      size — unlike a VMEM-resident accumulator, which caps H*Cp*W);
+    * d_x / d_y via the triangle-weight derivatives (for the caller's chain
+      into projected coordinates and through them into depth). Window
+      origins (floor/min) are piecewise constant and carry no gradient —
+      exactly like the XLA windowed path.
+    """
+    align = window_h[1]
+    window_k = window_h[2]
+    whC = window_k * Cp
+    Tc = _col_chunk_size(T, col_chunk)
+    n_chunks = T // Tc
+    Wk = Wx or W
+    chan = jax.lax.broadcasted_iota(jnp.int32, (Cp, whC), 0)
+    lane = jax.lax.broadcasted_iota(jnp.int32, (Cp, whC), 1)
+    sel = (lane % Cp == chan).astype(jnp.float32)  # (Cp, whC)
+    yoff = (
+        jax.lax.broadcasted_iota(jnp.int32, (whC, Tc), 0) // Cp
+    ).astype(jnp.float32)
+    jx = jax.lax.broadcasted_iota(jnp.int32, (Wk, Tc), 0).astype(jnp.float32)
+    y_hi = ((H - window_k) // align) * align
+    x_hi = max(W - Wk, 0)
+    prec = jax.lax.Precision.HIGHEST
+    v = pl.program_id(0)
+
+    def _clip_xy(x, y):
+        if padding_mode == "border":
+            return jnp.clip(x, 0.0, w_clip - 1), jnp.clip(y, 0.0, H - 1)
+        return (
+            jnp.clip(x, -2.0, w_clip + 1.0),
+            jnp.clip(y, -2.0, H + 1.0),
+        )
+
+    def mm(a, b, dims):
+        return jax.lax.dot_general(
+            a, b, dimension_numbers=(dims, ((), ())),
+            preferred_element_type=jnp.float32, precision=prec,
+        )
+
+    def row_origin(r):
+        _, y = _clip_xy(x_ref[0, pl.ds(r, 1), :], y_ref[0, pl.ds(r, 1), :])
+        y0 = jnp.floor(jnp.min(y)).astype(jnp.int32) - 1
+        return jnp.clip((y0 // align) * align, 0, max(y_hi, 0))
+
+    def band_copy(src_ref, dst_ref, y0, sem):
+        ysl = pl.ds(pl.multiple_of(y0 * Cp, align * Cp), whC)
+        return pltpu.make_async_copy(
+            src_ref.at[pl.ds(v, 1), ysl, :], dst_ref, sem
+        )
+
+    def row_body(r, _):
+        y0 = row_origin(r)
+        y0f = y0.astype(jnp.float32)
+        # serialized band RMW: the write of row r-1 completed before this
+        # read was issued, so overlapping bands accumulate correctly
+        band_copy(imgs_ref, ibuf.at[pl.ds(0, 1)], y0, sems.at[0]).start()
+        band_copy(dimgs_ref, dbuf.at[pl.ds(0, 1)], y0, sems.at[1]).start()
+        band_copy(imgs_ref, ibuf.at[pl.ds(0, 1)], y0, sems.at[0]).wait()
+        band_copy(dimgs_ref, dbuf.at[pl.ds(0, 1)], y0, sems.at[1]).wait()
+
+        gxs, gys = [], []
+        for c in range(n_chunks):
+            xr = x_ref[0, pl.ds(r, 1), :][:, c * Tc:(c + 1) * Tc]  # (1, Tc)
+            yr = y_ref[0, pl.ds(r, 1), :][:, c * Tc:(c + 1) * Tc]
+            x, y = _clip_xy(xr, yr)
+            if Wx:
+                x0 = jnp.floor(jnp.min(x)).astype(jnp.int32) - 1
+                x0 = jnp.clip((x0 // 128) * 128, 0, x_hi)
+                x0a = pl.multiple_of(x0, 128)
+                win = ibuf[0, :, pl.ds(x0a, Wx)]
+            else:
+                x0 = jnp.zeros((), jnp.int32)
+                win = ibuf[0]
+            g = g_ref[0, pl.ds(r, 1), :, :][0][:, c * Tc:(c + 1) * Tc]
+
+            # --- recompute the forward's weights (float32 HIGHEST) ---
+            ax = jnp.maximum(
+                0.0, 1.0 - jnp.abs(jx + x0.astype(jnp.float32) - x)
+            )  # (Wk, Tc)
+            tmp = mm(win, ax, ((1,), (0,)))  # (whC, Tc)
+            ydist = y - y0f - yoff
+            ay = jnp.maximum(0.0, 1.0 - jnp.abs(ydist))  # (whC, Tc)
+
+            # --- transposed interpolation: feature gradient ---
+            d_ta = mm(sel, g, ((0,), (0,)))  # (whC, Tc)
+            d_tmp = d_ta * ay
+            d_win = mm(d_tmp, ax, ((1,), (1,)))  # (whC, Wk)
+            if Wx:
+                cur = dbuf[0, :, pl.ds(x0a, Wx)]
+                dbuf[0, :, pl.ds(x0a, Wx)] = cur + d_win
+            else:
+                dbuf[0] = dbuf[0] + d_win
+
+            # --- coordinate gradients through the triangle weights ---
+            d_ax = mm(win, d_tmp, ((0,), (0,)))  # (Wk, Tc)
+            xdist = jx + x0.astype(jnp.float32) - x
+            dax_dx = jnp.where(jnp.abs(xdist) < 1.0, jnp.sign(xdist), 0.0)
+            g_x = jnp.sum(d_ax * dax_dx, axis=0, keepdims=True)  # (1, Tc)
+            d_ay = d_ta * tmp
+            day_dy = jnp.where(jnp.abs(ydist) < 1.0, -jnp.sign(ydist), 0.0)
+            g_y = jnp.sum(d_ay * day_dy, axis=0, keepdims=True)  # (1, Tc)
+
+            # clip chain: clipped coordinates carry no gradient
+            if padding_mode == "border":
+                mx = ((xr >= 0.0) & (xr <= w_clip - 1)).astype(jnp.float32)
+                my = ((yr >= 0.0) & (yr <= H - 1)).astype(jnp.float32)
+            else:
+                mx = ((xr >= -2.0) & (xr <= w_clip + 1.0)).astype(jnp.float32)
+                my = ((yr >= -2.0) & (yr <= H + 1.0)).astype(jnp.float32)
+            gxs.append(g_x * mx)
+            gys.append(g_y * my)
+
+        wr = pltpu.make_async_copy(
+            dbuf.at[pl.ds(0, 1)],
+            dimgs_ref.at[
+                pl.ds(v, 1),
+                pl.ds(pl.multiple_of(y0 * Cp, align * Cp), whC),
+                :,
+            ],
+            sems.at[2],
+        )
+        wr.start()
+        wr.wait()
+
+        gx_row = gxs[0] if n_chunks == 1 else jnp.concatenate(gxs, axis=1)
+        gy_row = gys[0] if n_chunks == 1 else jnp.concatenate(gys, axis=1)
+        dx_ref[0, pl.ds(r, 1), :] = gx_row
+        dy_ref[0, pl.ds(r, 1), :] = gy_row
+        return _
+
+    jax.lax.fori_loop(0, RB, row_body, 0)
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("window_h", "padding_mode", "interpret", "window_w"),
+)
+def _row_sample_bwd_impl(
+    imgs, x, y, g, window_h, padding_mode, interpret, window_w
+):
+    """(d_imgs, d_x, d_y) for ``fused_row_sample`` at float32 compute.
+
+    Mirrors the forward wrapper's padding/window geometry exactly; the
+    cotangent ``g`` arrives in the public (V, R, T, C) layout.
+    """
+    V, H, W, C = imgs.shape
+    _, R, T = x.shape
+    T_in = T
+    T_k = -(-T // 128) * 128
+    g_k = jnp.moveaxis(g, -1, 2)  # (V, R, C, T)
+    if T_k != T:
+        pad = ((0, 0), (0, 0), (0, T_k - T))
+        x = jnp.pad(x, pad, mode="edge")
+        y = jnp.pad(y, pad, mode="edge")
+        g_k = jnp.pad(g_k, ((0, 0), (0, 0), (0, 0), (0, T_k - T)))
+        T = T_k
+    Cp, align, window_k = _pack_geometry(C, window_h, H)
+    if Cp != C:
+        imgs = jnp.pad(imgs, ((0, 0), (0, 0), (0, 0), (0, Cp - C)))
+        g_k = jnp.pad(g_k, ((0, 0), (0, 0), (0, Cp - C), (0, 0)))
+    W_clip = W
+    W_pad = -(-W // 128) * 128
+    if W_pad != W:
+        imgs = jnp.pad(imgs, ((0, 0), (0, 0), (0, W_pad - W), (0, 0)))
+        W = W_pad
+    window_h = min(window_h, H)
+    whC = window_k * Cp
+    Wx = -(-window_w // 128) * 128 if window_w else 0
+    if Wx >= W or Wx >= -(-W // 128) * 128:
+        Wx = 0
+
+    # the backward keeps ~10 (whC, Tc) temporaries live (recomputed weights
+    # plus their cotangents): half the forward's column chunk and a lower
+    # budget keep the scoped VMEM total under the 16MB limit
+    col_chunk = max(2**19 // (whC * 4), 128)
+
+    # fixed VMEM: source band + gradient band scratch + matmul temporaries
+    T_pad = -(-T // 128) * 128
+    fixed = 2 * whC * W_pad * 4
+    temps = 10 * whC * min(col_chunk, T) * 4
+    budget = 10 * 2**20 - fixed - temps
+    cands = [R] + [r for r in range(8, R, 8) if R % r == 0]
+    fitting = [
+        r for r in cands
+        if 2 * r * T_pad * 4 * (Cp + 4) <= max(budget, 2**19)
+    ]
+    RB = max(fitting) if fitting else min(cands)
+
+    imgs_t = (
+        jnp.swapaxes(imgs, 2, 3).reshape(V, H * Cp, W).astype(jnp.float32)
+    )
+
+    kernel = functools.partial(
+        _sample_bwd_kernel,
+        H=H, W=W, Cp=Cp, T=T, RB=RB,
+        window_h=(window_h, align, window_k),
+        padding_mode=padding_mode, col_chunk=col_chunk,
+        w_clip=W_clip, Wx=Wx,
+    )
+    coord_spec = pl.BlockSpec(
+        (1, RB, T), lambda v, rb: (v, rb, 0), memory_space=pltpu.VMEM
+    )
+    dimgs, dx, dy = pl.pallas_call(
+        kernel,
+        grid=(V, R // RB),
+        in_specs=[
+            pl.BlockSpec(memory_space=pl.ANY),
+            coord_spec,
+            coord_spec,
+            pl.BlockSpec(
+                (1, RB, Cp, T), lambda v, rb: (v, rb, 0, 0),
+                memory_space=pltpu.VMEM,
+            ),
+            pl.BlockSpec(memory_space=pl.ANY),
+        ],
+        out_specs=(
+            pl.BlockSpec(memory_space=pl.ANY),
+            coord_spec,
+            coord_spec,
+        ),
+        out_shape=(
+            jax.ShapeDtypeStruct((V, H * Cp, W), jnp.float32),
+            jax.ShapeDtypeStruct((V, R, T), jnp.float32),
+            jax.ShapeDtypeStruct((V, R, T), jnp.float32),
+        ),
+        scratch_shapes=[
+            pltpu.VMEM((1, whC, W), jnp.float32),
+            pltpu.VMEM((1, whC, W), jnp.float32),
+            pltpu.SemaphoreType.DMA((3,)),
+        ],
+        input_output_aliases={4: 0},
+        # the recompute+transpose keeps ~2x the forward's live temporaries;
+        # worst-case (L0: Cp=36, window_k=36) Mosaic's stack accounting
+        # lands ~22MB — raise the scoped-VMEM cap above the 16MB default
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=40 * 2**20,
+        ),
+        interpret=interpret,
+    )(
+        imgs_t,
+        x.astype(jnp.float32),
+        y.astype(jnp.float32),
+        g_k.astype(jnp.float32),
+        jnp.zeros((V, H * Cp, W), jnp.float32),
+    )
+    d_imgs = jnp.swapaxes(dimgs.reshape(V, H, Cp, W), 2, 3)
+    d_imgs = d_imgs[:, :, :W_clip, :C]
+    return d_imgs, dx[:, :, :T_in], dy[:, :, :T_in]
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4, 5, 6))
+def fused_row_sample_diff(
+    imgs,
+    x,
+    y,
+    window_h: int = 16,
+    padding_mode: str = "border",
+    interpret: bool = False,
+    window_w: int = 0,
+):
+    """Differentiable fused row sampler (full-image training path).
+
+    Forward is the Pallas kernel at float32 compute; backward is a matching
+    Pallas kernel (``_sample_bwd_kernel``), so full-image fine-tuning keeps
+    the fused hot loop for the render-stage image sampling too (reference
+    hot loop lib/networks/enerf/utils.py:753-786). Gradients flow to
+    ``imgs`` and to the projected coordinates ``x``/``y`` (and through the
+    caller's projection into depth) exactly like the XLA windowed path.
+    The same exactness condition as the forward applies
+    (``row_sample_coverage`` == 0 for the scene's geometry).
+    """
+    return fused_row_sample(
+        imgs, x, y, window_h=window_h, padding_mode=padding_mode,
+        compute_dtype=jnp.float32, interpret=interpret, window_w=window_w,
+    )
+
+
+def _frsd_fwd(imgs, x, y, window_h, padding_mode, interpret, window_w):
+    out = fused_row_sample(
+        imgs, x, y, window_h=window_h, padding_mode=padding_mode,
+        compute_dtype=jnp.float32, interpret=interpret, window_w=window_w,
+    )
+    return out, (imgs, x, y)
+
+
+def _frsd_bwd(window_h, padding_mode, interpret, window_w, res, g):
+    imgs, x, y = res
+    d_imgs, dx, dy = _row_sample_bwd_impl(
+        imgs, x, y, g, window_h, padding_mode, interpret, window_w
+    )
+    return d_imgs.astype(imgs.dtype), dx.astype(x.dtype), dy.astype(y.dtype)
+
+
+fused_row_sample_diff.defvjp(_frsd_fwd, _frsd_bwd)
+
+
 def row_sample_packing(C: int, window_h: int, H: int, T: int):
     """(Cp, T_pad) of the kernel's raw output layout for given inputs."""
     Cp, _, _ = _pack_geometry(C, window_h, H)

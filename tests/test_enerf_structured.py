@@ -159,3 +159,31 @@ def test_pallas_eval_matches_gather(monkeypatch):
             np.asarray(got[k]), np.asarray(want[k]), rtol=1e-3, atol=2e-3,
             err_msg=k,
         )
+
+
+def test_pallas_sampling_training_grads_match_windowed(monkeypatch):
+    """Full-image training through the fused row sampler's custom VJP
+    (Pallas forward AND backward for the render-stage image sampling) must
+    produce the same parameter gradients as the structured windowed path.
+
+    Isolates the sampling change (warp stays windowed in both) — warp VJP
+    parity is covered by test_pallas_warp_training_grads_match_windowed."""
+    monkeypatch.setenv("BOOST_PALLAS_FORCE", "1")
+    rng = np.random.default_rng(25)
+    batch = {
+        k: jnp.asarray(v) for k, v in make_batch(rng, full_image=True).items()
+    }
+    ref_cas = dataclasses.replace(
+        BASE, warp_mode="windowed", eval_sampling="structured"
+    )
+    model_ref = ENeRF(cas=ref_cas)
+    variables = model_ref.init(jax.random.PRNGKey(0), batch, False)
+
+    want = _train_grads(ref_cas, variables, batch)
+    got = _train_grads(
+        dataclasses.replace(
+            BASE, warp_mode="windowed", eval_sampling="pallas"
+        ),
+        variables, batch,
+    )
+    _assert_grads_close(got, want, atol=1e-3, tail_atol=1e-2)

@@ -148,3 +148,86 @@ def test_row_sample_coverage_flags_narrow_x_window(rng):
     y = jnp.asarray(ys.astype(np.float32))
     assert float(row_sample_coverage((H, W, C), x, y, 8, 128, "border")) > 0
     assert float(row_sample_coverage((H, W, C), x, y, 8, 0, "border")) == 0.0
+
+
+@pytest.mark.parametrize("padding_mode", ["zeros", "border"])
+def test_fused_row_sample_diff_grads_match_gather(rng, padding_mode):
+    """Custom-VJP backward kernel vs autodiff through the gather oracle:
+    gradients to the images AND to the projected coordinates must agree."""
+    from boostmvsnerfs_tpu.ops.pallas.img_sample import fused_row_sample_diff
+
+    imgs, x, y = _setup(rng)
+    # keep coordinates off integer lattice points (the triangle-weight kink)
+    x = x + 0.17
+    y = y + 0.23
+    V, R, T = x.shape
+    w = jnp.asarray(
+        np.random.default_rng(7).standard_normal((V, R, T, imgs.shape[-1])),
+        jnp.float32,
+    )
+
+    def loss_fused(im, xx, yy):
+        out = fused_row_sample_diff(
+            im, xx, yy, 8, padding_mode, INTERPRET, 0
+        )
+        return jnp.sum(out * w)
+
+    def loss_oracle(im, xx, yy):
+        xy = jnp.stack([xx, yy], axis=-1).reshape(V, R * T, 2)
+        out = jax.vmap(
+            lambda i, c: sampling.grid_sample_2d(i, c, padding_mode)
+        )(im, xy).reshape(V, R, T, -1)
+        return jnp.sum(out * w)
+
+    g_f = jax.grad(loss_fused, argnums=(0, 1, 2))(imgs, x, y)
+    g_o = jax.grad(loss_oracle, argnums=(0, 1, 2))(imgs, x, y)
+    for a, b, name in zip(g_f, g_o, ("d_imgs", "d_x", "d_y")):
+        np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), rtol=1e-4, atol=1e-4,
+            err_msg=name,
+        )
+
+
+def test_fused_row_sample_diff_grads_x_window(rng):
+    """Gradient parity with the per-chunk x-window active (dynamic-lane
+    scatter into the gradient band)."""
+    from boostmvsnerfs_tpu.ops.pallas.img_sample import (
+        fused_row_sample_diff,
+        row_sample_coverage,
+    )
+
+    V, H, W, C, R, T = 1, 64, 512, 5, 4, 128
+    imgs = jnp.asarray(rng.standard_normal((V, H, W, C)).astype(np.float32))
+    xs = 90.0 + np.linspace(0, 60, T)[None, None] + rng.normal(
+        0, 0.2, (V, R, T)
+    )
+    ys = 10.0 + 4.0 * np.arange(R)[None, :, None] + rng.normal(
+        0, 0.5, (V, R, T)
+    )
+    x = jnp.asarray(xs.astype(np.float32)) + 0.17
+    y = jnp.asarray(ys.astype(np.float32)) + 0.23
+    assert float(
+        row_sample_coverage((H, W, C), x, y, 16, 256, "border")
+    ) == 0.0
+    w = jnp.asarray(
+        np.random.default_rng(3).standard_normal((V, R, T, C)), jnp.float32
+    )
+
+    def loss_fused(im, xx, yy):
+        out = fused_row_sample_diff(im, xx, yy, 16, "border", INTERPRET, 256)
+        return jnp.sum(out * w)
+
+    def loss_oracle(im, xx, yy):
+        xy = jnp.stack([xx, yy], axis=-1).reshape(V, R * T, 2)
+        out = jax.vmap(
+            lambda i, c: sampling.grid_sample_2d(i, c, "border")
+        )(im, xy).reshape(V, R, T, -1)
+        return jnp.sum(out * w)
+
+    g_f = jax.grad(loss_fused, argnums=(0, 1, 2))(imgs, x, y)
+    g_o = jax.grad(loss_oracle, argnums=(0, 1, 2))(imgs, x, y)
+    for a, b, name in zip(g_f, g_o, ("d_imgs", "d_x", "d_y")):
+        np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), rtol=1e-4, atol=1e-4,
+            err_msg=name,
+        )
