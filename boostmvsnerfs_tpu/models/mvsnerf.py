@@ -434,7 +434,11 @@ class MVSNeRF(nn.Module):
         src_inps (B,V,H,W,3) in [-1,1]; feats (B,V,h,w,32);
         depth_values (B,D). Returns (B, D, h+2p, w+2p, 8).
         Reference network.py:887-942: channels = [ref RGB, warped src RGBs,
-        per-pixel-count-normalized variance of features].
+        per-pixel-count-normalized variance of features]. The RGB channels
+        stay in the preprocessed [-1,1] range — the reference's
+        build_volume_costvar_img warps ``batch['src_inps']`` directly
+        (network.py:905-908); only the per-view color features of the
+        render stage unpreprocess (network.py:990).
         """
         cfg = self.cfg
         B, V, h, w, C = feats.shape
@@ -459,9 +463,7 @@ class MVSNeRF(nn.Module):
         counts = jnp.ones((B, 1, hp, wp, 1))  # valid-view count per voxel
         counts = jnp.broadcast_to(counts, (B, D, hp, wp, 1))
 
-        rgb_ref = jnp.pad(
-            imgs[:, 0] * 0.5 + 0.5, ((0, 0), (p, p), (p, p), (0, 0))
-        )
+        rgb_ref = jnp.pad(imgs[:, 0], ((0, 0), (p, p), (p, p), (0, 0)))
         rgb_chans = [jnp.broadcast_to(rgb_ref[:, None], (B, D, hp, wp, 3))]
 
         for v in range(1, V):
@@ -487,7 +489,7 @@ class MVSNeRF(nn.Module):
                 ).reshape(D, hp, wp, -1)
 
             wf = jax.vmap(samp)(feats[:, v], xy)
-            wrgb = jax.vmap(samp)(imgs[:, v] * 0.5 + 0.5, xy)
+            wrgb = jax.vmap(samp)(imgs[:, v], xy)
             valid = (
                 (xy[..., 0] >= 0) & (xy[..., 0] <= w - 1)
                 & (xy[..., 1] >= 0) & (xy[..., 1] <= h - 1)
@@ -678,10 +680,11 @@ class MVSNeRF(nn.Module):
         raw_out = self.render_volume(
             sub, volume, batch["ray_idx_0"], near, far, train, with_mask=False
         )
-        # MVSNeRF depth map semantics: unnormalized sum(weights * z)
-        # (reference lib/networks/mvsnerf/renderer.py:85-88), unlike the
-        # ENeRF head's softmax-normalized depth
+        # the reference's mvsnerf forward composits with the ENeRF
+        # raw2outputs (network.py:1123-1126 imports it), whose depth map
+        # softmax-normalizes the weights — not the mvsnerf renderer's raw
+        # sum(weights * z) (renderer.py:85-88, an unused code path there)
         out = render.composite(
-            raw_out["net_output"], raw_out["z_vals"], softmax_depth=False
+            raw_out["net_output"], raw_out["z_vals"], softmax_depth=True
         )
         return {f"{k}_level0": v for k, v in out.items()}

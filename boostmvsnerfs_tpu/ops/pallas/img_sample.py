@@ -567,9 +567,17 @@ def _row_sample_bwd_impl(
         Wx = 0
 
     # the backward keeps ~10 (whC, Tc) temporaries live (recomputed weights
-    # plus their cotangents): half the forward's column chunk and a lower
-    # budget keep the scoped VMEM total under the 16MB limit
-    col_chunk = max(2**19 // (whC * 4), 128)
+    # plus their cotangents), so it runs at half the forward's VMEM budget.
+    # Its chunk MUST divide the forward's: each backward chunk is then a
+    # sub-range of exactly one forward chunk, so its min-x window origin is
+    # >= the forward chunk's and its x-window covers every tap the forward
+    # (coverage-validated) window covered. An independent smaller chunk can
+    # straddle a forward-chunk boundary and silently drop valid taps when
+    # window_w is active.
+    Tc_f = _col_chunk_size(T, max(2**20 // (whC * 4), 128))
+    bwd_budget = max(2**19 // (whC * 4), 128)
+    divs = [d for d in range(128, Tc_f + 1, 128) if Tc_f % d == 0]
+    col_chunk = max([d for d in divs if d <= bwd_budget] or [128])
 
     # fixed VMEM: source band + gradient band scratch + matmul temporaries
     T_pad = -(-T // 128) * 128

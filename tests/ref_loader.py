@@ -142,30 +142,55 @@ def load_reference_mvsnerf():
         tv.transforms = tvt
         sys.modules["torchvision"] = tv
         sys.modules["torchvision.transforms"] = tvt
+    # the reference Embedder pins its frequency bands with .cuda() at
+    # construction time (lib/networks/mvsnerf/network.py:44); neutralize it
+    # on this CPU-only torch build so Network() can be instantiated
+    import torch
+
+    if not torch.cuda.is_available() and not getattr(
+        torch.Tensor.cuda, "_parity_noop", False
+    ):
+        def _cuda_noop(self, *a, **k):
+            return self
+
+        _cuda_noop._parity_noop = True
+        torch.Tensor.cuda = _cuda_noop
+
     if "inplace_abn" not in sys.modules:
-        import torch
         import torch.nn as nn
 
         class InPlaceABN(nn.Module):
             """Numerically-equivalent stand-in: BatchNorm + leaky_relu(0.01)
-            (the in-place memory trick is irrelevant for parity)."""
+            (the in-place memory trick is irrelevant for parity). Registers
+            weight/bias/running stats directly like the real InPlaceABN, so
+            state-dict key names match real checkpoints (``<block>.bn.weight``
+            etc. — what port_weights.port_mvsnerf maps); the functional
+            batch_norm normalizes dim 1 for 2D and 3D conv activations
+            alike (the mvsnerf CostRegNet is Conv3d)."""
 
-            def __init__(self, num_features, **kw):
+            def __init__(self, num_features, eps=1e-5, momentum=0.1, **kw):
                 super().__init__()
-                self.bn = nn.BatchNorm2d(num_features)
-
-            # reference code accesses .weight/.bias/running stats through
-            # the module; expose the BN parameters under the ABN names
-            @property
-            def weight(self):
-                return self.bn.weight
-
-            @property
-            def bias(self):
-                return self.bn.bias
+                self.eps = eps
+                self.momentum = momentum
+                self.weight = nn.Parameter(torch.ones(num_features))
+                self.bias = nn.Parameter(torch.zeros(num_features))
+                self.register_buffer(
+                    "running_mean", torch.zeros(num_features)
+                )
+                self.register_buffer("running_var", torch.ones(num_features))
 
             def forward(self, x):
-                return torch.nn.functional.leaky_relu(self.bn(x), 0.01)
+                y = torch.nn.functional.batch_norm(
+                    x,
+                    self.running_mean,
+                    self.running_var,
+                    self.weight,
+                    self.bias,
+                    self.training,
+                    self.momentum,
+                    self.eps,
+                )
+                return torch.nn.functional.leaky_relu(y, 0.01)
 
         mod = types.ModuleType("inplace_abn")
         mod.InPlaceABN = InPlaceABN
@@ -182,6 +207,20 @@ def load_reference_mvsnerf():
     ref.mvsnerf_network = mvsnerf_network
     ref.mvsnerf_renderer = mvsnerf_renderer
     ref.mvsnerf_utils = mvsnerf_utils
+    return ref
+
+
+def load_reference_boost_mvsnerf():
+    """Also import the boost_mvsnerf network (needs the mvsnerf stack plus a
+    view_selection.json in cfg.result_dir unless preprocess=True)."""
+    ref = load_reference_mvsnerf()
+    old_cwd = os.getcwd()
+    os.chdir(_REF_ROOT)
+    try:
+        import lib.networks.boost_mvsnerf.network as boost_mvsnerf_network
+    finally:
+        os.chdir(old_cwd)
+    ref.boost_mvsnerf_network = boost_mvsnerf_network
     return ref
 
 

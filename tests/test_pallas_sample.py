@@ -188,6 +188,67 @@ def test_fused_row_sample_diff_grads_match_gather(rng, padding_mode):
         )
 
 
+def test_fused_row_sample_diff_grads_bwd_chunk_not_dividing_fwd(rng):
+    """Regression (r3 advisor, high): the backward's smaller VMEM budget
+    used to pick a column chunk (384) that did not divide the forward's
+    (640). With window_w active, a backward chunk straddling a forward
+    chunk boundary computed its x-window origin over a wider coordinate
+    range and silently dropped valid taps, corrupting d_imgs. The backward
+    chunk must be a divisor of the forward chunk so each backward chunk is
+    a sub-range of one coverage-validated forward chunk.
+
+    Geometry: C=3 -> Cp=4, window_h=57 -> window_k=60, whC=240, T=1920:
+    fwd budget 2**20//960=1092 -> Tc_f=640; bwd budget 546 -> the buggy
+    independent pick was 384. Per-fwd-chunk x bases jump (300, 60, 300) so
+    the straddling [384,768) chunk's min-x window misses the x~300 taps.
+    """
+    from boostmvsnerfs_tpu.ops.pallas.img_sample import (
+        fused_row_sample_diff,
+        row_sample_coverage,
+    )
+
+    V, H, W, C, R, T = 1, 128, 512, 3, 4, 1920
+    imgs = jnp.asarray(rng.standard_normal((V, H, W, C)).astype(np.float32))
+    bases = np.repeat(np.array([300.0, 60.0, 300.0]), 640)  # per fwd chunk
+    xs = bases[None, None, :] + rng.normal(0, 0.4, (V, R, T))
+    ys = 20.0 + 8.0 * np.arange(R)[None, :, None] + rng.normal(
+        0, 0.5, (V, R, T)
+    )
+    x = jnp.asarray(xs.astype(np.float32)) + 0.17
+    y = jnp.asarray(ys.astype(np.float32)) + 0.23
+    # forward-chunk coverage must be clean — the bug is bwd-only
+    assert float(
+        row_sample_coverage((H, W, C), x, y, 57, 256, "border")
+    ) == 0.0
+    w = jnp.asarray(
+        np.random.default_rng(11).standard_normal((V, R, T, C)), jnp.float32
+    )
+
+    def loss_fused(im, xx, yy):
+        out = fused_row_sample_diff(im, xx, yy, 57, "border", INTERPRET, 256)
+        return jnp.sum(out * w)
+
+    def loss_oracle(im, xx, yy):
+        xy = jnp.stack([xx, yy], axis=-1).reshape(V, R * T, 2)
+        out = jax.vmap(
+            lambda i, c: sampling.grid_sample_2d(i, c, "border")
+        )(im, xy).reshape(V, R, T, -1)
+        return jnp.sum(out * w)
+
+    np.testing.assert_allclose(
+        np.asarray(loss_fused(imgs, x, y)),
+        np.asarray(loss_oracle(imgs, x, y)),
+        rtol=1e-4,
+    )
+    g_f = jax.grad(loss_fused, argnums=(0, 1, 2))(imgs, x, y)
+    g_o = jax.grad(loss_oracle, argnums=(0, 1, 2))(imgs, x, y)
+    for a, b, name in zip(g_f, g_o, ("d_imgs", "d_x", "d_y")):
+        np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), rtol=1e-4, atol=1e-4,
+            err_msg=name,
+        )
+
+
 def test_fused_row_sample_diff_grads_x_window(rng):
     """Gradient parity with the per-chunk x-window active (dynamic-lane
     scatter into the gradient band)."""
