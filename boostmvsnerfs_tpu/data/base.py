@@ -53,6 +53,76 @@ def resize_nearest(img: np.ndarray, H: int, W: int) -> np.ndarray:
     return img[ys][:, xs]
 
 
+def sample_patch_pixels(rng, num_patch, patch_size, H, W, msk_sample):
+    """(X, Y) pixel coords of ``num_patch`` contiguous square patches.
+
+    Reference lib/datasets/enerf_utils.py:5-23 ``sample_patch``: patch
+    centers drawn from the foreground mask when it is non-empty (clipped so
+    the patch stays in-frame), uniformly otherwise; each patch contributes
+    its full patch_size^2 pixel grid.
+    """
+    half = patch_size // 2
+    fg = int(msk_sample.sum())
+    if fg > 0:
+        num_fg = num_patch
+        ys, xs = msk_sample.nonzero()
+        perm = rng.permutation(fg)[:num_fg]
+        X_ = np.clip(xs[perm], half, W - half)
+        Y_ = np.clip(ys[perm], half, H - half)
+    else:
+        num_fg = 0
+    n_uniform = num_patch - num_fg
+    X = rng.integers(half, W - half, n_uniform)
+    Y = rng.integers(half, H - half, n_uniform)
+    if num_fg > 0:
+        X = np.concatenate([X, X_]).astype(np.int32)
+        Y = np.concatenate([Y, Y_]).astype(np.int32)
+    gx, gy = np.meshgrid(
+        np.arange(patch_size) - half, np.arange(patch_size) - half
+    )
+    X_all = np.concatenate([gx.reshape(-1) + x for x in X])
+    Y_all = np.concatenate([gy.reshape(-1) + y for y in Y])
+    return X_all.astype(np.int32), Y_all.astype(np.int32)
+
+
+def sample_train_pixels(
+    rng, H, W, num_rays, msk, sample_on_mask=False, num_patchs=0,
+    patch_size=-1,
+):
+    """Flat pixel indices for one training level.
+
+    Reference lib/datasets/enerf_utils.py:35-51 (train branch of
+    ``build_rays``): with ``sample_on_mask``, up to 75% of the ray budget
+    (capped at 95% of the foreground) is drawn from mask pixels and the
+    rest uniformly; ``num_patchs`` contiguous patches are appended on top.
+    The returned count is static per config: ``num_rays`` +
+    ``num_patchs * patch_size**2`` (mask sampling replaces uniform rays,
+    it does not add any).
+    """
+    if sample_on_mask:
+        msk_sample = np.asarray(msk).astype(bool)
+        num_fg = int(min(num_rays * 0.75, msk_sample.sum() * 0.95))
+        ys, xs = msk_sample.nonzero()
+        perm = rng.permutation(msk_sample.sum())[:num_fg]
+        X_, Y_ = xs[perm], ys[perm]
+    else:
+        num_fg = 0
+        msk_sample = np.zeros((H, W), dtype=bool)
+    n_uniform = num_rays - num_fg
+    X = rng.integers(0, W, n_uniform)
+    Y = rng.integers(0, H, n_uniform)
+    if num_fg > 0:
+        X = np.concatenate([X, X_]).astype(np.int32)
+        Y = np.concatenate([Y, Y_]).astype(np.int32)
+    if num_patchs > 0:
+        X_, Y_ = sample_patch_pixels(
+            rng, num_patchs, patch_size, H, W, msk_sample
+        )
+        X = np.concatenate([X, X_]).astype(np.int32)
+        Y = np.concatenate([Y, Y_]).astype(np.int32)
+    return (Y.astype(np.int64) * W + X).astype(np.int32)
+
+
 class MultiViewDataset:
     """Base for Free / ScanNet / DTU / custom datasets.
 
@@ -156,8 +226,12 @@ class MultiViewDataset:
             img_i = resize_area(tar_img, H_r, W_r)
             msk_i = resize_area(tar_msk.astype(np.float32), H_r, W_r) >= 0.5
             if self.split == "train" and not self.cas.train_img[i]:
-                n = self.cas.num_rays[i]
-                idx = rng.integers(0, H_r * W_r, n).astype(np.int32)
+                idx = sample_train_pixels(
+                    rng, H_r, W_r, self.cas.num_rays[i], msk_i,
+                    sample_on_mask=getattr(self.cas, "sample_on_mask", False),
+                    num_patchs=getattr(self.cas, "num_patchs", (0,) * 8)[i],
+                    patch_size=getattr(self.cas, "patch_size", (-1,) * 8)[i],
+                )
             else:
                 idx = np.arange(H_r * W_r, dtype=np.int32)
             sample[f"ray_idx_{i}"] = idx

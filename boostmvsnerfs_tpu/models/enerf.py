@@ -54,6 +54,15 @@ class CascadeConfig:
     num_rays: tuple = (4096, 32768)
     train_img: tuple = (True, True)
     loss_weight: tuple = (0.1, 1.0)
+    # patch ray sampling: num_patchs[i] patches of patch_size[i]^2 pixels
+    # appended to the random rays (reference enerf_utils.py:5-23 +
+    # configs .../dtu_pretrain.yaml num_patchs/patch_size)
+    num_patchs: tuple = (0, 0)
+    patch_size: tuple = (-1, -1)
+    # foreground-weighted ray sampling from the target mask (reference
+    # cfg.enerf.sample_on_mask, enerf_utils.py:35-51; the ZJU-MoCap /
+    # human-variant training recipe)
+    sample_on_mask: bool = False
     viewdir_agg: bool = True
     # boost settings (reference configs/exps/pretrain/enerf_ours/dtu_pretrain.yaml)
     k_best: int = 4
@@ -137,6 +146,10 @@ class CascadeConfig:
             kw["viewdir_agg"] = node["viewdir_agg"]
         if "cost_volume_input_views" in node:
             kw["cost_volume_input_views"] = node["cost_volume_input_views"]
+        # lives at the enerf level in the reference cfg tree, not inside
+        # cas_config (lib/config/config.py enerf defaults)
+        if "sample_on_mask" in node:
+            kw["sample_on_mask"] = node["sample_on_mask"]
         return CascadeConfig(**kw)
 
 

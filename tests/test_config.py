@@ -87,3 +87,31 @@ def test_experiment_config_matrix_loads():
         assert (m, "pretrain") in seen, m
         assert (m, "evaluate") in seen or m == "enerf", m
         assert (m, "finetune") in seen or m == "enerf", m
+
+
+def test_per_scene_finetune_leaves():
+    """The per-scene fine-tune leaf configs (reference
+    configs/exps/finetune/<method>/{free,scannet_plus}/<scene>.yaml) resolve
+    through the parent chain and pin their scene + exp name."""
+    free = ["grass", "hydrant", "lab", "pillar", "road", "sky", "stair"]
+    scannet = [
+        "scene0000_01", "scene0079_00", "scene0158_00", "scene0316_00",
+        "scene0521_00", "scene0553_00", "scene0616_00", "scene0653_00",
+    ]
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    old = os.getcwd()
+    os.chdir(repo)
+    try:
+        for method in ("enerf_ours", "mvsnerf_ours"):
+            for ds, scenes in (("free", free), ("scannet_plus", scannet)):
+                for s in scenes:
+                    p = f"configs/exps/finetune/{method}/{ds}/{s}.yaml"
+                    cfg = make_cfg(p)
+                    assert cfg.scene == s, p
+                    assert cfg.exp_name == f"{s}_ft", p
+                    assert cfg.task == "finetune", p
+                    # enerf_ours fine-tunes 150 epochs, mvsnerf_ours 40
+                    # (each method's base.yaml recipe)
+                    assert cfg.train.epoch in (40, 150), p
+    finally:
+        os.chdir(old)

@@ -240,3 +240,77 @@ def test_scannet_dataset(tmp_path):
     np.testing.assert_allclose(s["near_far"], [0.25, 6.0])
     b = collate([s])
     assert b["src_inps"].shape == (1, 3, H_IMG, W_IMG, 3)
+
+
+# ---------------------------------------------------------------------------
+# train-time ray sampling (reference lib/datasets/enerf_utils.py:5-51)
+# ---------------------------------------------------------------------------
+
+
+def test_sample_train_pixels_uniform():
+    from boostmvsnerfs_tpu.data.base import sample_train_pixels
+
+    rng = np.random.default_rng(0)
+    H, W, n = 24, 32, 100
+    idx = sample_train_pixels(rng, H, W, n, np.ones((H, W), bool))
+    assert idx.shape == (n,) and idx.dtype == np.int32
+    assert idx.min() >= 0 and idx.max() < H * W
+
+
+def test_sample_train_pixels_mask_weighted():
+    """sample_on_mask: 75% of the budget (capped at 95% of the foreground)
+    comes from mask pixels; the total stays num_rays (reference
+    enerf_utils.py:35-45)."""
+    from boostmvsnerfs_tpu.data.base import sample_train_pixels
+
+    rng = np.random.default_rng(1)
+    H, W, n = 24, 32, 100
+    msk = np.zeros((H, W), bool)
+    msk[5:15, 8:20] = True  # 120 fg pixels
+    idx = sample_train_pixels(rng, H, W, n, msk, sample_on_mask=True)
+    assert idx.shape == (n,)
+    num_fg_expected = int(min(n * 0.75, msk.sum() * 0.95))  # 75
+    in_mask = msk.reshape(-1)[idx]
+    # the guaranteed fg draws land in-mask; uniform draws may add more
+    assert in_mask.sum() >= num_fg_expected
+    # tiny mask: fg capped at 95% of foreground
+    msk2 = np.zeros((H, W), bool)
+    msk2[0, :10] = True
+    idx2 = sample_train_pixels(rng, H, W, n, msk2, sample_on_mask=True)
+    assert idx2.shape == (n,)
+    assert msk2.reshape(-1)[idx2].sum() >= int(10 * 0.95)
+
+
+def test_sample_patch_pixels_contiguous():
+    """Patches are full patch_size^2 grids, in-frame, fg-centered when the
+    mask is non-empty (reference enerf_utils.py:5-23)."""
+    from boostmvsnerfs_tpu.data.base import sample_patch_pixels
+
+    rng = np.random.default_rng(2)
+    H, W, np_, ps = 40, 48, 3, 8
+    msk = np.zeros((H, W), bool)
+    msk[10:30, 12:36] = True
+    X, Y = sample_patch_pixels(rng, np_, ps, H, W, msk)
+    assert X.shape == (np_ * ps * ps,)
+    assert X.min() >= 0 and X.max() < W and Y.min() >= 0 and Y.max() < H
+    for p in range(np_):
+        xs = X[p * ps * ps:(p + 1) * ps * ps].reshape(ps, ps)
+        ys = Y[p * ps * ps:(p + 1) * ps * ps].reshape(ps, ps)
+        # contiguous grid rows/cols
+        assert (np.diff(xs, axis=1) == 1).all()
+        assert (np.diff(ys, axis=0) == 1).all()
+        # center drawn from the (clipped) foreground
+        cx, cy = int(xs[ps // 2, ps // 2]), int(ys[ps // 2, ps // 2])
+        assert msk[np.clip(cy, 10, 29), np.clip(cx, 12, 35)]
+
+
+def test_sample_train_pixels_with_patches_static_count():
+    from boostmvsnerfs_tpu.data.base import sample_train_pixels
+
+    rng = np.random.default_rng(3)
+    H, W, n = 40, 48, 64
+    idx = sample_train_pixels(
+        rng, H, W, n, np.zeros((H, W), bool), num_patchs=2, patch_size=4
+    )
+    assert idx.shape == (n + 2 * 16,)
+    assert idx.min() >= 0 and idx.max() < H * W

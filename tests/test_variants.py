@@ -185,3 +185,55 @@ def test_res_unet(rng):
     out = net.apply(variables, x, False)
     assert out["level_0"].shape == (2, 8, 12, 32)
     assert np.isfinite(np.asarray(out["level_0"])).all()
+
+
+def test_human_train_smoke_mask_patch_sampling(rng):
+    """HumanENeRF fine-tune smoke with the ZJU-MoCap-style ray recipe:
+    foreground-weighted + patch ray sampling (reference
+    lib/datasets/enerf_utils.py:5-51, cfg.enerf.sample_on_mask /
+    num_patchs) feeding one gradient step."""
+    import optax
+
+    from boostmvsnerfs_tpu.data.base import sample_train_pixels
+    from boostmvsnerfs_tpu.parallel.train import (
+        create_train_state,
+        make_train_step,
+    )
+
+    H, W = 32, 64
+    cas = dataclasses.replace(
+        CAS,
+        train_img=(False, False),
+        num_rays=(32, 64),
+        num_patchs=(0, 2),
+        patch_size=(-1, 4),
+        sample_on_mask=True,
+    )
+    np_batch = make_scene_batch(B=1, n_views=3, H=H, W=W, seed=7)
+    msk = np.zeros((H, W), bool)
+    msk[8:20, 10:40] = True
+    srng = np.random.default_rng(11)
+    for i, scale in enumerate((0.25, 1.0)):
+        H_r, W_r = int(H * scale), int(W * scale)
+        msk_i = msk[:: int(1 / scale) or 1, :: int(1 / scale) or 1][
+            :H_r, :W_r
+        ]
+        idx = sample_train_pixels(
+            srng, H_r, W_r, cas.num_rays[i], msk_i,
+            sample_on_mask=cas.sample_on_mask,
+            num_patchs=cas.num_patchs[i], patch_size=cas.patch_size[i],
+        )
+        np_batch[f"ray_idx_{i}"] = idx[None]
+        np_batch[f"rgb_{i}"] = np.random.default_rng(13).uniform(
+            0, 1, (1, idx.shape[0], 3)
+        ).astype(np.float32)
+    batch = {k: jnp.asarray(v) for k, v in np_batch.items()}
+    assert batch["ray_idx_1"].shape[1] == 64 + 2 * 16
+
+    model = HumanENeRF(cas=cas)
+    tx = optax.adam(1e-4)
+    state = create_train_state(model, tx, batch)
+    step = make_train_step(model, tx)
+    state, stats = step(state, batch)
+    assert np.isfinite(float(stats["loss"]))
+    assert int(state.step) == 1
