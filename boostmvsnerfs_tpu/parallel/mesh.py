@@ -33,6 +33,35 @@ def make_mesh(
     return Mesh(use, ("data", "rays"))
 
 
+def make_cv_mesh(
+    n_devices: int | None = None, k_best: int = 4, batch: int = 1,
+    devices=None,
+) -> Mesh:
+    """Build a ``(cv, rays)`` mesh for the fused boost render.
+
+    The flagship eval workload has two natural parallel axes: the K fused
+    cost volumes (embarrassingly parallel until the final blend,
+    SURVEY.md §2.3b) and the per-view ray bundle. The ``cv`` axis takes
+    the largest factor of ``batch * k_best`` that fits; remaining devices
+    go to ``rays``. Volume building + per-volume rendering then shard
+    over ALL devices (cv x rays), with one cross-``cv`` reduction at the
+    blend — unlike the plain (data, rays) mesh, where the ray-independent
+    volume stages replicate per ray-shard (measured: work_efficiency
+    0.63/0.36/0.20 at N=2/4/8 on the 64x96 CI geometry, SCALING_r04).
+    """
+    if devices is None:
+        devices = jax.devices()
+    n = n_devices or len(devices)
+    bk = batch * k_best
+    cv = 1
+    for d in range(min(n, bk), 0, -1):
+        if n % d == 0 and bk % d == 0:
+            cv = d
+            break
+    use = np.asarray(devices[:n]).reshape(cv, n // cv)
+    return Mesh(use, ("cv", "rays"))
+
+
 def batch_pspecs(keys) -> dict:
     """Per-leaf PartitionSpecs for a model batch (by key name).
 

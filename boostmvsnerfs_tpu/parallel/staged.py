@@ -26,13 +26,32 @@ from boostmvsnerfs_tpu.ops import render
 
 
 class StagedENeRF:
-    """Stage-jitted ENeRF / BoostENeRF forward for evaluation."""
+    """Stage-jitted ENeRF / BoostENeRF forward for evaluation.
 
-    def __init__(self, model: ENeRF):
+    With ``mesh`` (a ``(cv, rays)`` mesh from parallel/mesh.make_cv_mesh)
+    the boost pipeline shards across devices via per-stage jit shardings:
+    the K-folded batch axis of the volume stages partitions over ``cv``
+    (each device group builds its own cost volumes) and the ray axis of
+    the render stage over ``rays``; the cross-K blend inside the fused
+    render stage is the only cross-``cv`` collective. No model changes —
+    the stage boundaries already expose exactly the tensors that need
+    constraints (SURVEY.md §2.3 TPU mapping (b))."""
+
+    def __init__(self, model: ENeRF, mesh=None):
         self.model = model
         self.cas = model.cas
         self.boost = isinstance(model, BoostENeRF)
+        self.mesh = mesh
         m = model
+
+        if mesh is not None:
+            from jax.sharding import NamedSharding, PartitionSpec as P
+
+            rep = NamedSharding(mesh, P())
+            cv = NamedSharding(mesh, P("cv"))
+            cv_rays = NamedSharding(mesh, P("cv", "rays"))
+        else:
+            rep = cv = cv_rays = None
 
         self._features = jax.jit(
             lambda v, x: m.apply(v, x, False, method=ENeRF.extract_features)
@@ -52,8 +71,18 @@ class StagedENeRF:
                 ray_idx, False, return_raw, method=ENeRF.render_level,
             )
 
+        vol_jit_kw = {}
+        if mesh is not None and self.boost:
+            # (v, feats, src_exts, src_ixts, tar_ext, tar_ixt, near_far,
+            #  prev) — everything but the params carries the K-folded
+            # batch axis first
+            vol_jit_kw = dict(
+                in_shardings=(rep, cv, cv, cv, cv, cv, cv, cv),
+                out_shardings=cv,
+            )
         self._volume = {
-            i: jax.jit(partial(volume_stage, i)) for i in range(self.cas.num)
+            i: jax.jit(partial(volume_stage, i), **vol_jit_kw)
+            for i in range(self.cas.num)
         }
         self._render = {
             (i, raw): jax.jit(partial(render_stage, i, raw))
@@ -94,8 +123,22 @@ class StagedENeRF:
                     inv=self.cas.depth_inv[level],
                 )
 
+            rb_jit_kw = {}
+            if mesh is not None:
+                # (v, feats, feat_vol, depth, std, nf_map, batch, ray_idx):
+                # volume tensors arrive cv-sharded; the replicated ray ids
+                # split over (cv, rays) so each device renders its volume
+                # group's ray tile; the blend's cross-K reduction is the
+                # only cross-cv collective and GSPMD lays out its output
+                for_rays = cv_rays
+                rb_jit_kw = dict(
+                    in_shardings=(rep, cv, cv, cv, cv, cv, cv, for_rays),
+                )
             self._render_blend = {
-                i: jax.jit(partial(render_blend_stage, i, self.cas.k_best))
+                i: jax.jit(
+                    partial(render_blend_stage, i, self.cas.k_best),
+                    **rb_jit_kw,
+                )
                 for i in range(self.cas.num)
             }
 

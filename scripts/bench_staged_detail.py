@@ -48,9 +48,18 @@ def main():
     W = int(os.environ.get("BENCH_W", 736))
     K = 4
     cas = CascadeConfig(k_best=K)
-    model = BoostENeRF(cas=cas)
     np_batch = make_scene_batch(B=1, n_views=6, H=H, W=W, boost=True,
-                                k_best=K, seed=0)
+                                k_best=K, seed=0,
+                                rig=os.environ.get("BENCH_RIG", "forward"))
+    if os.environ.get("BENCH_AUTOTUNE", "1") == "1":
+        # match bench.py: per-scene kernel-window tuning
+        from boostmvsnerfs_tpu.utils.autotune import tune_cascade_windows
+
+        cas = tune_cascade_windows(np_batch, cas)
+        print("autotuned:", {"warp_h": cas.pallas_window_h,
+                             "img_h": cas.pallas_img_window_h,
+                             "img_w": cas.pallas_img_window_w}, flush=True)
+    model = BoostENeRF(cas=cas)
     batch = {k: jnp.asarray(v) for k, v in np_batch.items()}
     from boostmvsnerfs_tpu.utils.init_utils import init_variables
 

@@ -14,6 +14,9 @@ from boostmvsnerfs_tpu.utils.autotune import (
     tune_warp_window,
 )
 from tests.helpers import make_batch
+import pytest
+
+pytestmark = pytest.mark.slow
 
 CAS = CascadeConfig(
     volume_planes=(16, 8), num_samples=(4, 2),

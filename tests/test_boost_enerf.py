@@ -13,6 +13,8 @@ from boostmvsnerfs_tpu.models.boost_enerf import (
 from boostmvsnerfs_tpu.models.enerf import CascadeConfig
 from tests.helpers import make_batch
 
+pytestmark = pytest.mark.slow
+
 TEST_CAS = CascadeConfig(volume_planes=(16, 8), num_samples=(8, 2), k_best=2)
 
 

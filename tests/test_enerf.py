@@ -8,6 +8,8 @@ import pytest
 from boostmvsnerfs_tpu.models.enerf import CascadeConfig, ENeRF
 from tests.helpers import make_batch
 
+pytestmark = pytest.mark.slow
+
 TEST_CAS = CascadeConfig(volume_planes=(16, 8), num_samples=(8, 2))
 
 

@@ -9,6 +9,9 @@ import jax.numpy as jnp
 
 from boostmvsnerfs_tpu.models.enerf import CascadeConfig, ENeRF
 from tests.helpers import make_batch
+import pytest
+
+pytestmark = pytest.mark.slow
 
 BASE = CascadeConfig(
     volume_planes=(16, 8), num_samples=(8, 2),

@@ -8,6 +8,9 @@ import numpy as np
 
 from boostmvsnerfs_tpu.models.enerf import CascadeConfig, ENeRF
 from tests.helpers import make_batch
+import pytest
+
+pytestmark = pytest.mark.slow
 
 CAS = CascadeConfig(volume_planes=(16, 8), num_samples=(8, 2))
 

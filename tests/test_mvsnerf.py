@@ -16,6 +16,8 @@ from boostmvsnerfs_tpu.models.mvsnerf import (
 )
 from tests.helpers import make_batch
 
+pytestmark = pytest.mark.slow
+
 CFG = MVSNeRFConfig(pad=8, num_samples=8, k_best=2)
 
 H, W = 64, 96

@@ -17,6 +17,8 @@ from boostmvsnerfs_tpu.models.mvsnerf import (  # noqa: E402
 )
 from tests.ref_loader import load_reference_mvsnerf  # noqa: E402
 
+pytestmark = pytest.mark.slow
+
 
 def _t2j(t):
     return jnp.asarray(t.detach().numpy())

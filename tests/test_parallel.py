@@ -17,6 +17,8 @@ from boostmvsnerfs_tpu.parallel.train import (
 from boostmvsnerfs_tpu.train.schedule import make_optimizer
 from tests.helpers import make_batch
 
+pytestmark = pytest.mark.slow
+
 TEST_CAS = CascadeConfig(volume_planes=(16, 8), num_samples=(8, 2), warp_dtype="float32")
 
 

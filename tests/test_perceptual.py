@@ -10,6 +10,9 @@ from boostmvsnerfs_tpu.eval.vgg import (
     perceptual_loss_fn,
 )
 from boostmvsnerfs_tpu.train.loss import enerf_loss
+import pytest
+
+pytestmark = pytest.mark.slow
 
 
 def test_vgg_feature_shapes(rng):

@@ -24,6 +24,8 @@ from boostmvsnerfs_tpu.utils import port_weights as pw
 from tests.helpers import make_batch
 from tests.ref_loader import load_reference, load_reference_boost, torch_batch_from
 
+pytestmark = pytest.mark.slow
+
 H, W = 64, 96  # divisible by 8; level-0 volume 8x12x64, level-1 32x48x8
 
 

@@ -130,6 +130,8 @@ def _psnr(got, want):
 
 import contextlib
 
+pytestmark = pytest.mark.slow
+
 
 @contextlib.contextmanager
 def _deterministic_empty():

@@ -9,6 +9,8 @@ import yaml
 from boostmvsnerfs_tpu.config import make_cfg
 from tests.test_data import H_IMG, W_IMG, _write_free_scene
 
+pytestmark = pytest.mark.slow
+
 
 @pytest.fixture(scope="module")
 def workspace(tmp_path_factory):

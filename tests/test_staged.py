@@ -8,6 +8,9 @@ from boostmvsnerfs_tpu.models.boost_enerf import BoostENeRF, view_combinations
 from boostmvsnerfs_tpu.models.enerf import CascadeConfig, ENeRF
 from boostmvsnerfs_tpu.parallel.staged import StagedENeRF
 from tests.helpers import make_batch
+import pytest
+
+pytestmark = pytest.mark.slow
 
 CAS = CascadeConfig(volume_planes=(16, 8), num_samples=(8, 2), warp_dtype="float32")
 
@@ -50,3 +53,50 @@ def test_staged_matches_monolithic_boost():
             np.asarray(got[k]), np.asarray(want[k]), rtol=1e-4, atol=1e-5,
             err_msg=k,
         )
+
+
+def test_staged_cv_mesh_matches_unsharded():
+    """The (cv, rays) mesh staged path — K volumes sharded over cv, rays
+    over rays, blend as the only cross-cv collective — must reproduce the
+    unsharded staged render on the 8-virtual-device CPU backend."""
+    from boostmvsnerfs_tpu.parallel.mesh import make_cv_mesh
+
+    rng = np.random.default_rng(33)
+    b = make_batch(rng, S=5, full_image=True)
+    b["all_src_inps"] = b["src_inps"]
+    b["all_src_exts"] = b["src_exts"]
+    b["all_src_ixts"] = b["src_ixts"]
+    b["combos"] = view_combinations(5, 3)
+    b["k_best"] = np.array([[0, 3, 5, 7]], dtype=np.int32)
+    batch = {k: jnp.asarray(v) for k, v in b.items()}
+
+    import dataclasses
+
+    cas = dataclasses.replace(CAS, k_best=4)
+    model = BoostENeRF(cas=cas)
+    variables = model.init(jax.random.PRNGKey(0), batch, False)
+    want = StagedENeRF(model)(variables, batch)
+
+    for n in (2, 8):  # cv=2/rays=1 and cv=4/rays=2
+        mesh = make_cv_mesh(n, k_best=4, devices=jax.devices("cpu"))
+        got = StagedENeRF(model, mesh=mesh)(variables, batch)
+        for k in want:
+            np.testing.assert_allclose(
+                np.asarray(got[k]), np.asarray(want[k]),
+                rtol=1e-4, atol=1e-5, err_msg=f"N={n} {k}",
+            )
+
+
+def test_make_cv_mesh_factorization():
+    from boostmvsnerfs_tpu.parallel.mesh import make_cv_mesh
+
+    devs = jax.devices("cpu")
+    assert make_cv_mesh(8, k_best=4, devices=devs).shape == {
+        "cv": 4, "rays": 2
+    }
+    assert make_cv_mesh(2, k_best=4, devices=devs).shape == {
+        "cv": 2, "rays": 1
+    }
+    assert make_cv_mesh(8, k_best=3, devices=devs).shape == {
+        "cv": 1, "rays": 8
+    }

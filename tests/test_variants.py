@@ -17,6 +17,10 @@ from boostmvsnerfs_tpu.models.variants import (
 )
 from boostmvsnerfs_tpu.utils.synthetic import make_scene_batch
 
+import pytest
+
+pytestmark = pytest.mark.slow
+
 CAS = CascadeConfig(
     depth_inv=(True, False),
     volume_planes=(16, 8),
