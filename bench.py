@@ -61,26 +61,50 @@ def main():
         B=1, n_views=n_views, H=H, W=W, boost=True, k_best=k_best, seed=0,
         rig="forward",  # Free-dataset-like forward trajectory (BASELINE.md)
     )
+    from boostmvsnerfs_tpu.utils.init_utils import init_variables
+
+    import sys
+
+    variables = init_variables(BoostENeRF(cas=cas), np_batch)
     if os.environ.get("BENCH_AUTOTUNE", "1") == "1":
-        # per-scene kernel-window tuning (camera-geometry only; a one-time
-        # setup pass like the reference's view-selection preprocessing)
-        from boostmvsnerfs_tpu.utils.autotune import tune_cascade_windows
+        # per-scene kernel-window tuning — a one-time setup pass like the
+        # reference's view-selection preprocessing. The default calibrated
+        # mode runs the volume stages once and tunes the sampler windows
+        # against the ACTUAL per-ray depth bounds (exactly the production
+        # bounds — sampler windows don't affect the depth maps); the
+        # endpoint mode (BENCH_CALIBRATE=0) stays sound knowing cameras
+        # only
+        from boostmvsnerfs_tpu.utils.autotune import (
+            tune_cascade_windows,
+            tune_cascade_windows_calibrated,
+        )
 
-        import sys
+        if os.environ.get("BENCH_CALIBRATE", "1") == "1":
+            cas = tune_cascade_windows_calibrated(np_batch, cas, variables)
+        else:
+            cas = tune_cascade_windows(np_batch, cas)
+        if os.environ.get("BENCH_WINDOWS"):
+            # explicit override for A/B window experiments:
+            # '{"pallas_img_window_h": [16, 64], ...}'
+            import dataclasses as _dc
 
-        cas = tune_cascade_windows(np_batch, cas)
+            over = {
+                k: tuple(v) if isinstance(v, list) else v
+                for k, v in json.loads(os.environ["BENCH_WINDOWS"]).items()
+            }
+            cas = _dc.replace(cas, **over)
         print("# autotuned windows:",
               {"warp_h": cas.pallas_window_h,
                "img_h": cas.pallas_img_window_h,
-               "img_w": cas.pallas_img_window_w},
+               "img_w": cas.pallas_img_window_w,
+               "chunk_bands": cas.pallas_img_chunk_bands},
               file=sys.stderr)
     model = BoostENeRF(cas=cas)
     batch = {k: jnp.asarray(v) for k, v in np_batch.items()}
     # init on CPU with a tiny batch — a full-res model.init would compile
-    # the monolithic forward (utils/init_utils.py)
-    from boostmvsnerfs_tpu.utils.init_utils import init_variables
-
-    variables = jax.device_put(init_variables(model, np_batch))
+    # the monolithic forward (utils/init_utils.py); params don't depend on
+    # the tuned windows, so the calibration-time variables are reused
+    variables = jax.device_put(variables)
 
     if os.environ.get("BENCH_MODE", "staged") == "staged":
         from boostmvsnerfs_tpu.parallel.staged import StagedENeRF

@@ -109,6 +109,11 @@ class CascadeConfig:
     # utils.autotune.tune_cascade_windows (checks
     # ops.pallas.img_sample.row_sample_coverage)
     pallas_img_window_w: tuple = (0, 0)
+    # chunked-band DMA mode of the fused sampler (per-(row, chunk) source
+    # bands with per-chunk y origins — admits much smaller y-windows when
+    # the per-chunk y-spans are tight, at the cost of re-fetching a band
+    # per chunk; the autotuner costs both modes)
+    pallas_img_chunk_bands: tuple = (False, False)
     # x tiling of the structured image-feature sampler: rows are split into
     # column tiles of ~img_cols_per_tile pixels, each sampling from a
     # (img_window_h, img_window_w) source patch. 0 = full-width rows (the
@@ -433,6 +438,7 @@ class ENeRF(nn.Module):
             window_w=cas.img_window_w[level],
             pallas_window_h=cas.pallas_img_window_h[level],
             pallas_window_w=cas.pallas_img_window_w[level],
+            pallas_chunk_bands=cas.pallas_img_chunk_bands[level],
             train=train,
             rows_layout=use_fused_head,
         )
@@ -488,6 +494,7 @@ class ENeRF(nn.Module):
         window_h: int | None = None, raster_hw: tuple | None = None,
         cols_per_tile: int = 0, window_w: int = 0,
         pallas_window_h: int = 16, pallas_window_w: int = 0,
+        pallas_chunk_bands: bool = False,
         train: bool = False, rows_layout: bool = False,
     ) -> tuple:
         """Project samples into every source view and gather features + RGB +
@@ -547,6 +554,7 @@ class ENeRF(nn.Module):
                     imgs, x_all, y_all,
                     pallas_window_h, "border",
                     pallas_ops.pallas_interpret(), pallas_window_w,
+                    pallas_chunk_bands,
                 )
             else:
                 sampled = fused_row_sample(
@@ -557,6 +565,7 @@ class ENeRF(nn.Module):
                     interpret=pallas_ops.pallas_interpret(),
                     window_w=pallas_window_w,
                     raw_layout=rows_layout,
+                    chunk_bands=pallas_chunk_bands,
                 )
             if rows_layout:
                 Cp, T_pad = sampled.shape[-2], sampled.shape[-1]

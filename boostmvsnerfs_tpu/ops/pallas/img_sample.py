@@ -45,6 +45,39 @@ def _col_chunk_size(T: int, col_chunk: int) -> int:
     return max([d for d in mults if d <= cap] or [min(mults)])
 
 
+def _divisor_chunk(tc_parent: int, cap: int) -> int:
+    """Largest 128-multiple divisor of ``tc_parent`` at most ``cap``.
+
+    Keeping every finer chunking a DIVISOR of the canonical one makes each
+    finer chunk a sub-range of exactly one canonical chunk, so its min-x /
+    min-y window origins are >= the canonical chunk's and its windows cover
+    every tap a canonical-chunk (coverage-validated) window covered."""
+    divs = [d for d in range(128, tc_parent + 1, 128) if tc_parent % d == 0]
+    return max([d for d in divs if d <= cap] or [128])
+
+
+def _chunk_geometry(
+    T: int, whC: int, resident: bool, Wx: int, chunk_bands: bool
+):
+    """(Tc, chunked): the forward kernel's actual column chunk and whether
+    the chunked-band DMA mode is active.
+
+    Canonical chunk Tc_std bounds the (whC, Tc) temporaries to ~1MB. The
+    chunked-band mode (``chunk_bands`` opted in, non-resident image, an
+    x-window set) re-chunks to a DIVISOR of Tc_std under a quarter budget:
+    smaller chunks give tighter per-chunk y/x window origins — the point
+    of the mode — and each is a sub-range of one canonical chunk, so
+    canonical-chunk coverage remains a conservative exactness check (see
+    ``_divisor_chunk``). It is opt-in because it re-fetches a band per
+    chunk: profitable only when the resulting y-window shrink beats the
+    extra HBM traffic (the autotuner costs both modes)."""
+    tc_std = _col_chunk_size(T, max(2**20 // (whC * 4), 128))
+    chunked = chunk_bands and (not resident) and Wx > 0
+    if chunked:
+        return _divisor_chunk(tc_std, max(2**18 // (whC * 4), 128)), True
+    return tc_std, False
+
+
 def _pack_geometry(C: int, window_h: int, H: int):
     """(Cp, align, window_k): channel padding + window-origin alignment.
 
@@ -85,6 +118,7 @@ def _sample_kernel(
     resident: bool,
     w_clip: int,
     Wx: int,  # x-window width (128-multiple) or 0 = full source width
+    chunked: bool = False,  # per-(row, chunk) band DMA mode
 ):
     align = window_h[1]
     window_k = window_h[2]
@@ -186,6 +220,58 @@ def _sample_kernel(
 
     band_scratch, band_sem = scratch
 
+    if chunked:
+        # per-(row, chunk) band DMA: each column chunk fetches only its own
+        # (window_k*Cp, Wx) source window at per-chunk y/x origins — bands
+        # are as tight as the resident mode's, so far smaller y-windows
+        # validate than with one band per row (the row's whole y-span).
+        # Double-buffered across the chunk sequence; every chunk is a
+        # sub-range of a canonical chunk (see _chunk_geometry), so
+        # canonical coverage implies no tap is dropped.
+        def cband_dma(slot, y0, x0):
+            return pltpu.make_async_copy(
+                imgs_ref.at[
+                    pl.ds(v, 1),
+                    pl.ds(pl.multiple_of(y0 * Cp, align * Cp), whC),
+                    pl.ds(pl.multiple_of(x0, 128), Wx),
+                ],
+                band_scratch.at[pl.ds(slot, 1)],
+                band_sem.at[slot % 2 if isinstance(slot, int) else slot],
+            )
+
+        def origin(r, c):
+            _, _, y0, x0 = chunk_coords(r, c)
+            return y0, x0
+
+        y00, x00 = origin(0, 0)
+        cband_dma(0, y00, x00).start()
+
+        def row_body(r, carry):
+            outs = []
+            for c in range(n_chunks):
+                slot = (r * n_chunks + c) % 2
+                nslot = (slot + 1) % 2
+                if c + 1 < n_chunks:
+                    y0n, x0n = origin(r, c + 1)
+                    cband_dma(nslot, y0n, x0n).start()
+                else:
+
+                    @pl.when(r + 1 < RB)
+                    def _prefetch():
+                        y0n, x0n = origin(r + 1, 0)
+                        cband_dma(nslot, y0n, x0n).start()
+
+                x, y, y0, x0 = chunk_coords(r, c)
+                cband_dma(slot, y0, x0).wait()
+                win = band_scratch[pl.ds(slot, 1)].reshape(whC, Wx)
+                outs.append(interp(win, x, y, y0, x0))
+            row = outs[0] if n_chunks == 1 else jnp.concatenate(outs, axis=1)
+            out_ref[0, pl.ds(r, 1), :, :] = row[None]
+            return carry
+
+        jax.lax.fori_loop(0, RB, row_body, 0)
+        return
+
     def band_dma(slot, r):
         y0 = row_origin(r)
         return pltpu.make_async_copy(
@@ -228,7 +314,7 @@ def _sample_kernel(
     jax.jit,
     static_argnames=(
         "window_h", "padding_mode", "row_block", "compute_dtype", "interpret",
-        "window_w", "raw_layout",
+        "window_w", "raw_layout", "chunk_bands",
     ),
 )
 def fused_row_sample(
@@ -242,6 +328,7 @@ def fused_row_sample(
     interpret: bool = False,
     window_w: int = 0,
     raw_layout: bool = False,
+    chunk_bands: bool = False,
 ) -> jnp.ndarray:
     """Bilinear-sample ``imgs`` at per-row smooth coordinate curves.
 
@@ -291,12 +378,13 @@ def fused_row_sample(
     if Wx >= W or Wx >= -(-W // 128) * 128:
         Wx = 0
 
-    # column chunk so the (whC, Tc) temporaries stay ~<=1MB of VMEM
-    col_chunk = max(2**20 // (whC * 4), 128)
-
     imgs_bytes = H * Cp * W_pad * cdt.itemsize
     resident = imgs_bytes <= 6 * 2**20
-    fixed = imgs_bytes if resident else 2 * whC * W_pad * cdt.itemsize
+    # canonical column chunk (bounds (whC, Tc) temporaries to ~1MB) or the
+    # finer divisor chunk of the per-(row, chunk) band-DMA mode
+    col_chunk, chunked = _chunk_geometry(T, whC, resident, Wx, chunk_bands)
+    band_w = Wx if chunked else W_pad
+    fixed = imgs_bytes if resident else 2 * whC * band_w * cdt.itemsize
     temps = 6 * whC * min(col_chunk, T) * 4
 
     # auto row block: double-buffered out + coord blocks must fit VMEM next
@@ -321,6 +409,7 @@ def fused_row_sample(
         window_h=(window_h, align, window_k),
         padding_mode=padding_mode, cdt=cdt,
         col_chunk=col_chunk, resident=resident, w_clip=W_clip, Wx=Wx,
+        chunked=chunked,
     )
     if resident:
         img_spec = pl.BlockSpec(
@@ -333,7 +422,7 @@ def fused_row_sample(
     else:
         img_spec = pl.BlockSpec(memory_space=pltpu.HBM)
         scratch_shapes = [
-            pltpu.VMEM((2, whC, W), cdt),
+            pltpu.VMEM((2, whC, band_w), cdt),
             pltpu.SemaphoreType.DMA((2,)),
         ]
     out = pl.pallas_call(
@@ -386,6 +475,7 @@ def _sample_bwd_kernel(
     col_chunk: int,
     w_clip: int,
     Wx: int,
+    chunked: bool = False,  # per-(row, chunk) band RMW (mirrors the forward)
 ):
     """Backward of ``fused_row_sample`` (see the forward kernel above).
 
@@ -439,28 +529,64 @@ def _sample_bwd_kernel(
         y0 = jnp.floor(jnp.min(y)).astype(jnp.int32) - 1
         return jnp.clip((y0 // align) * align, 0, max(y_hi, 0))
 
-    def band_copy(src_ref, dst_ref, y0, sem):
+    def band_copy(src_ref, dst_ref, y0, sem, x0=None):
         ysl = pl.ds(pl.multiple_of(y0 * Cp, align * Cp), whC)
-        return pltpu.make_async_copy(
-            src_ref.at[pl.ds(v, 1), ysl, :], dst_ref, sem
-        )
+        if x0 is None:
+            src = src_ref.at[pl.ds(v, 1), ysl, :]
+        else:
+            src = src_ref.at[pl.ds(v, 1), ysl, pl.ds(pl.multiple_of(x0, 128), Wx)]
+        return pltpu.make_async_copy(src, dst_ref, sem)
+
+    def band_write(y0, x0=None):
+        ysl = pl.ds(pl.multiple_of(y0 * Cp, align * Cp), whC)
+        if x0 is None:
+            dst = dimgs_ref.at[pl.ds(v, 1), ysl, :]
+        else:
+            dst = dimgs_ref.at[pl.ds(v, 1), ysl, pl.ds(pl.multiple_of(x0, 128), Wx)]
+        return pltpu.make_async_copy(dbuf.at[pl.ds(0, 1)], dst, sems.at[2])
 
     def row_body(r, _):
-        y0 = row_origin(r)
-        y0f = y0.astype(jnp.float32)
-        # serialized band RMW: the write of row r-1 completed before this
-        # read was issued, so overlapping bands accumulate correctly
-        band_copy(imgs_ref, ibuf.at[pl.ds(0, 1)], y0, sems.at[0]).start()
-        band_copy(dimgs_ref, dbuf.at[pl.ds(0, 1)], y0, sems.at[1]).start()
-        band_copy(imgs_ref, ibuf.at[pl.ds(0, 1)], y0, sems.at[0]).wait()
-        band_copy(dimgs_ref, dbuf.at[pl.ds(0, 1)], y0, sems.at[1]).wait()
+        if chunked:
+            y0 = None  # per-chunk bands (mirrors the forward's chunked mode)
+        else:
+            y0 = row_origin(r)
+            y0f = y0.astype(jnp.float32)
+            # serialized band RMW: the write of row r-1 completed before
+            # this read was issued, so overlapping bands accumulate
+            # correctly
+            band_copy(imgs_ref, ibuf.at[pl.ds(0, 1)], y0, sems.at[0]).start()
+            band_copy(dimgs_ref, dbuf.at[pl.ds(0, 1)], y0, sems.at[1]).start()
+            band_copy(imgs_ref, ibuf.at[pl.ds(0, 1)], y0, sems.at[0]).wait()
+            band_copy(dimgs_ref, dbuf.at[pl.ds(0, 1)], y0, sems.at[1]).wait()
 
         gxs, gys = [], []
         for c in range(n_chunks):
             xr = x_ref[0, pl.ds(r, 1), :][:, c * Tc:(c + 1) * Tc]  # (1, Tc)
             yr = y_ref[0, pl.ds(r, 1), :][:, c * Tc:(c + 1) * Tc]
             x, y = _clip_xy(xr, yr)
-            if Wx:
+            if chunked:
+                # per-chunk y/x origins, identical to the chunked forward;
+                # serialized per-chunk read -> add -> write keeps
+                # overlapping bands race-free
+                yc0 = jnp.floor(jnp.min(y)).astype(jnp.int32) - 1
+                yc0 = jnp.clip((yc0 // align) * align, 0, max(y_hi, 0))
+                y0f = yc0.astype(jnp.float32)
+                x0 = jnp.floor(jnp.min(x)).astype(jnp.int32) - 1
+                x0 = jnp.clip((x0 // 128) * 128, 0, x_hi)
+                band_copy(
+                    imgs_ref, ibuf.at[pl.ds(0, 1)], yc0, sems.at[0], x0
+                ).start()
+                band_copy(
+                    dimgs_ref, dbuf.at[pl.ds(0, 1)], yc0, sems.at[1], x0
+                ).start()
+                band_copy(
+                    imgs_ref, ibuf.at[pl.ds(0, 1)], yc0, sems.at[0], x0
+                ).wait()
+                band_copy(
+                    dimgs_ref, dbuf.at[pl.ds(0, 1)], yc0, sems.at[1], x0
+                ).wait()
+                win = ibuf[0]
+            elif Wx:
                 x0 = jnp.floor(jnp.min(x)).astype(jnp.int32) - 1
                 x0 = jnp.clip((x0 // 128) * 128, 0, x_hi)
                 x0a = pl.multiple_of(x0, 128)
@@ -482,7 +608,12 @@ def _sample_bwd_kernel(
             d_ta = mm(sel, g, ((0,), (0,)))  # (whC, Tc)
             d_tmp = d_ta * ay
             d_win = mm(d_tmp, ax, ((1,), (1,)))  # (whC, Wk)
-            if Wx:
+            if chunked:
+                dbuf[0] = dbuf[0] + d_win
+                wr = band_write(yc0, x0)
+                wr.start()
+                wr.wait()  # completes before the next chunk's dbuf read
+            elif Wx:
                 cur = dbuf[0, :, pl.ds(x0a, Wx)]
                 dbuf[0, :, pl.ds(x0a, Wx)] = cur + d_win
             else:
@@ -507,17 +638,10 @@ def _sample_bwd_kernel(
             gxs.append(g_x * mx)
             gys.append(g_y * my)
 
-        wr = pltpu.make_async_copy(
-            dbuf.at[pl.ds(0, 1)],
-            dimgs_ref.at[
-                pl.ds(v, 1),
-                pl.ds(pl.multiple_of(y0 * Cp, align * Cp), whC),
-                :,
-            ],
-            sems.at[2],
-        )
-        wr.start()
-        wr.wait()
+        if not chunked:
+            wr = band_write(y0)
+            wr.start()
+            wr.wait()
 
         gx_row = gxs[0] if n_chunks == 1 else jnp.concatenate(gxs, axis=1)
         gy_row = gys[0] if n_chunks == 1 else jnp.concatenate(gys, axis=1)
@@ -530,10 +654,13 @@ def _sample_bwd_kernel(
 
 @functools.partial(
     jax.jit,
-    static_argnames=("window_h", "padding_mode", "interpret", "window_w"),
+    static_argnames=(
+        "window_h", "padding_mode", "interpret", "window_w", "chunk_bands",
+    ),
 )
 def _row_sample_bwd_impl(
-    imgs, x, y, g, window_h, padding_mode, interpret, window_w
+    imgs, x, y, g, window_h, padding_mode, interpret, window_w,
+    chunk_bands=False,
 ):
     """(d_imgs, d_x, d_y) for ``fused_row_sample`` at float32 compute.
 
@@ -566,22 +693,26 @@ def _row_sample_bwd_impl(
     if Wx >= W or Wx >= -(-W // 128) * 128:
         Wx = 0
 
+    # the diff forward runs at float32 compute: recompute its residency /
+    # chunked-band mode from the same geometry so the backward's bands and
+    # per-chunk origins are identical
+    resident = H * Cp * W_pad * 4 <= 6 * 2**20
+    Tc_f, chunked = _chunk_geometry(T, whC, resident, Wx, chunk_bands)
+
     # the backward keeps ~10 (whC, Tc) temporaries live (recomputed weights
     # plus their cotangents), so it runs at half the forward's VMEM budget.
     # Its chunk MUST divide the forward's: each backward chunk is then a
-    # sub-range of exactly one forward chunk, so its min-x window origin is
-    # >= the forward chunk's and its x-window covers every tap the forward
-    # (coverage-validated) window covered. An independent smaller chunk can
-    # straddle a forward-chunk boundary and silently drop valid taps when
-    # window_w is active.
-    Tc_f = _col_chunk_size(T, max(2**20 // (whC * 4), 128))
-    bwd_budget = max(2**19 // (whC * 4), 128)
-    divs = [d for d in range(128, Tc_f + 1, 128) if Tc_f % d == 0]
-    col_chunk = max([d for d in divs if d <= bwd_budget] or [128])
+    # sub-range of exactly one forward chunk, so its min-x/min-y window
+    # origins are >= the forward chunk's and its windows cover every tap
+    # the forward (coverage-validated) windows covered. An independent
+    # smaller chunk can straddle a forward-chunk boundary and silently
+    # drop valid taps when window_w is active.
+    col_chunk = _divisor_chunk(Tc_f, max(2**19 // (whC * 4), 128))
 
     # fixed VMEM: source band + gradient band scratch + matmul temporaries
     T_pad = -(-T // 128) * 128
-    fixed = 2 * whC * W_pad * 4
+    band_w = Wx if chunked else W_pad
+    fixed = 2 * whC * band_w * 4
     temps = 10 * whC * min(col_chunk, T) * 4
     budget = 10 * 2**20 - fixed - temps
     cands = [R] + [r for r in range(8, R, 8) if R % r == 0]
@@ -600,7 +731,7 @@ def _row_sample_bwd_impl(
         H=H, W=W, Cp=Cp, T=T, RB=RB,
         window_h=(window_h, align, window_k),
         padding_mode=padding_mode, col_chunk=col_chunk,
-        w_clip=W_clip, Wx=Wx,
+        w_clip=W_clip, Wx=Wx, chunked=chunked,
     )
     coord_spec = pl.BlockSpec(
         (1, RB, T), lambda v, rb: (v, rb, 0), memory_space=pltpu.VMEM
@@ -629,8 +760,8 @@ def _row_sample_bwd_impl(
             jax.ShapeDtypeStruct((V, R, T), jnp.float32),
         ),
         scratch_shapes=[
-            pltpu.VMEM((1, whC, W), jnp.float32),
-            pltpu.VMEM((1, whC, W), jnp.float32),
+            pltpu.VMEM((1, whC, band_w), jnp.float32),
+            pltpu.VMEM((1, whC, band_w), jnp.float32),
             pltpu.SemaphoreType.DMA((3,)),
         ],
         input_output_aliases={4: 0},
@@ -653,7 +784,7 @@ def _row_sample_bwd_impl(
     return d_imgs, dx[:, :, :T_in], dy[:, :, :T_in]
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4, 5, 6))
+@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4, 5, 6, 7))
 def fused_row_sample_diff(
     imgs,
     x,
@@ -662,6 +793,7 @@ def fused_row_sample_diff(
     padding_mode: str = "border",
     interpret: bool = False,
     window_w: int = 0,
+    chunk_bands: bool = False,
 ):
     """Differentiable fused row sampler (full-image training path).
 
@@ -677,21 +809,26 @@ def fused_row_sample_diff(
     return fused_row_sample(
         imgs, x, y, window_h=window_h, padding_mode=padding_mode,
         compute_dtype=jnp.float32, interpret=interpret, window_w=window_w,
+        chunk_bands=chunk_bands,
     )
 
 
-def _frsd_fwd(imgs, x, y, window_h, padding_mode, interpret, window_w):
+def _frsd_fwd(imgs, x, y, window_h, padding_mode, interpret, window_w,
+              chunk_bands):
     out = fused_row_sample(
         imgs, x, y, window_h=window_h, padding_mode=padding_mode,
         compute_dtype=jnp.float32, interpret=interpret, window_w=window_w,
+        chunk_bands=chunk_bands,
     )
     return out, (imgs, x, y)
 
 
-def _frsd_bwd(window_h, padding_mode, interpret, window_w, res, g):
+def _frsd_bwd(window_h, padding_mode, interpret, window_w, chunk_bands,
+              res, g):
     imgs, x, y = res
     d_imgs, dx, dy = _row_sample_bwd_impl(
-        imgs, x, y, g, window_h, padding_mode, interpret, window_w
+        imgs, x, y, g, window_h, padding_mode, interpret, window_w,
+        chunk_bands=chunk_bands,
     )
     return d_imgs.astype(imgs.dtype), dx.astype(x.dtype), dy.astype(y.dtype)
 
@@ -712,16 +849,23 @@ def row_sample_coverage(
     window_h: int,
     window_w: int = 0,
     padding_mode: str = "border",
+    chunk_bands: bool = False,
 ) -> jnp.ndarray:
     """Fraction of valid bilinear taps outside the kernel's windows
     (0.0 = ``fused_row_sample`` exact for this geometry and window config).
 
-    Mirrors the kernel's chunking and aligned window origins: the y check
-    uses row-level unaligned origins (conservative — the kernel's aligned
-    window_k band always covers the simple window_h band), while the x check
-    reproduces the per-chunk 128-lane-aligned origin exactly (align-down can
-    end the window earlier than an unaligned one, so a simple check would
-    not be conservative there)."""
+    Mirrors the kernel's chunking and aligned window origins; the x check
+    reproduces the per-chunk 128-lane-aligned origin exactly (align-down
+    can end the window earlier than an unaligned one, so a simple check
+    would not be conservative there). The y check uses unaligned origins
+    (conservative — the kernel's aligned window_k band always covers the
+    simple window_h band) at canonical-chunk granularity when EVERY
+    compute-dtype mode of the kernel uses per-chunk y origins — i.e. when
+    an x-window is set (resident and chunked-band modes are both
+    per-chunk) or the image is VMEM-resident even at float32; otherwise
+    at row level (the band-per-row DMA mode). Finer kernel chunks are
+    divisors of the canonical chunk, so canonical-chunk coverage bounds
+    them (see _divisor_chunk)."""
     from boostmvsnerfs_tpu.ops import sampling
 
     H, W, C = img_shape
@@ -739,8 +883,22 @@ def row_sample_coverage(
         pad = ((0, 0), (0, T_k - T))
         x = jnp.pad(x, pad, mode="edge")
         y = jnp.pad(y, pad, mode="edge")
-    col_chunk = max(2**20 // (whC * 4), 128)
-    Tc = _col_chunk_size(T_k, col_chunk)
+    resident_f32 = H * Cp * W_pad * 4 <= 6 * 2**20
+    resident_bf16 = H * Cp * W_pad * 2 <= 6 * 2**20
+    # per-chunk y origins hold for EVERY compute-dtype mode (f32 training
+    # + bf16 eval) iff the f32 image is resident (implies bf16 resident)
+    # or the chunked-band mode is opted in with an x-window (resident and
+    # chunked modes are both per-chunk); otherwise some mode samples one
+    # band per ROW and the y check must be row-level
+    per_chunk_y = resident_f32 or (chunk_bands and Wx > 0)
+    if Wx > 0:
+        # check at the coarsest chunking any dtype mode uses: canonical
+        # when the bf16 image is resident (the f32 chunked mode's finer
+        # divisor chunks are then covered — _divisor_chunk), the fine
+        # chunked-band chunk when no mode is resident
+        Tc, _ = _chunk_geometry(T_k, whC, resident_bf16, Wx, chunk_bands)
+    else:
+        Tc = _col_chunk_size(T_k, max(2**20 // (whC * 4), 128))
     n_chunks = T_k // Tc
 
     if padding_mode == "border":
@@ -751,13 +909,19 @@ def row_sample_coverage(
         y = jnp.clip(y, -2.0, H + 1.0)
 
     window_hh = min(window_h, H)
-    y0 = jnp.clip(
-        jnp.floor(jnp.min(y, axis=-1)).astype(jnp.int32) - 1,
-        0, H - window_hh,
-    )[:, None]  # (rows, 1) row-level origin
     xc = x.reshape(-1, n_chunks, Tc)
     yc = y.reshape(-1, n_chunks, Tc)
-    y0c = jnp.broadcast_to(y0, (y0.shape[0], n_chunks))[..., None]
+    if per_chunk_y:
+        y0c = jnp.clip(
+            jnp.floor(jnp.min(yc, axis=-1)).astype(jnp.int32) - 1,
+            0, H - window_hh,
+        )[..., None]  # (rows, n_chunks, 1) per-chunk origins
+    else:
+        y0 = jnp.clip(
+            jnp.floor(jnp.min(y, axis=-1)).astype(jnp.int32) - 1,
+            0, H - window_hh,
+        )[:, None]  # (rows, 1) row-level origin
+        y0c = jnp.broadcast_to(y0, (y0.shape[0], n_chunks))[..., None]
     if Wx:
         x0 = jnp.floor(jnp.min(xc, axis=-1)).astype(jnp.int32) - 1
         x0 = jnp.clip((x0 // 128) * 128, 0, max(W_pad - Wx, 0))[..., None]

@@ -171,6 +171,89 @@ def tune_img_window_w(batch: dict, cas, level: int, window_h: int,
     return 0
 
 
+def tune_img_windows_joint(batch: dict, cas, level: int, fallback_h: int,
+                           candidates=CANDIDATES,
+                           x_candidates=X_CANDIDATES,
+                           spans_hw=None, n_samples: int = 2):
+    """Jointly minimal-cost (window_h, window_w) of the fused Pallas row
+    sampler at ``level``.
+
+    The sampler's dominant matmul costs ~window_k*Cp*(Wx or W_pad) FLOPs
+    per output column; with an x-window the kernel uses PER-CHUNK y
+    origins (resident and chunked-band DMA modes), so far smaller
+    y-windows validate than the row-level spans the plain y tuner checks
+    — at the Free eval geometry the L1 row-level window is 64 while
+    canonical-chunk spans fit 16. Scans the (h, w) grid with the kernel's
+    own per-chunk-aware coverage checker and returns the feasible combo
+    with the lowest FLOP cost (falling back to ``fallback_h`` full-width).
+    """
+    from boostmvsnerfs_tpu.ops.pallas.img_sample import (
+        _pack_geometry,
+        row_sample_coverage,
+    )
+
+    if spans_hw is None:
+        spans, (H_r, W_r) = _img_spans(batch, cas, level)
+    else:
+        spans, (H_r, W_r) = spans_hw
+    C = (32, 16, 8)[cas.render_im_feat_level[level]] + 3
+    W_pad = -(-W_r // 128) * 128
+
+    def miss(h, w, cb):
+        m = 0.0
+        for sxy in spans:
+            m = max(m, float(row_sample_coverage(
+                (H_r, W_r, C), sxy[..., 0], sxy[..., 1], h, w,
+                padding_mode="border", chunk_bands=cb,
+            )))
+            if m > 0:
+                break
+        return m
+
+    def cost(h, w, cb):
+        """Roofline seconds/row: interp-matmul FLOPs vs band-DMA bytes of
+        the bf16 eval mode (the bench path). Chunked-band DMA re-fetches a
+        (window_k*Cp, Wx) band per chunk, so narrow x-windows trade MXU
+        work for HBM traffic — cost by the binding resource."""
+        from boostmvsnerfs_tpu.ops.pallas.img_sample import _chunk_geometry
+        from boostmvsnerfs_tpu.utils.roofline import peaks
+
+        Cp, _, window_k = _pack_geometry(C, h, H_r)
+        whC = window_k * Cp
+        T = W_r * n_samples  # samples per output row
+        T_pad = -(-T // 128) * 128
+        resident = H_r * Cp * W_pad * 2 <= 6 * 2**20
+        Tc, chunked = _chunk_geometry(T_pad, whC, resident, w, cb)
+        flops = 2 * whC * ((w or W_pad) + Cp) * T_pad
+        peak_f, peak_b = peaks()
+        # each band DMA pays a fixed issue cost on top of its bytes —
+        # measured on v5e a per-(row, chunk) band mode at Tc=128 (~12
+        # DMAs/row) is issue-bound, not bandwidth-bound
+        dma_issue = 1e-6
+        if chunked:
+            n = T_pad // Tc
+            dma = n * max(whC * w * 2 / peak_b, dma_issue)
+        elif resident:
+            dma = 0.0  # image loaded once for the whole block
+        else:
+            dma = max(whC * W_pad * 2 / peak_b, dma_issue)  # one row band
+        return max(flops / peak_f, dma)
+
+    best = (fallback_h, 0, False)
+    best_cost = cost(*best)
+    for h in candidates:
+        for cb in (False, True):
+            # smallest feasible x-window for this h and band mode
+            # (coverage is monotone in w)
+            for w in [x for x in x_candidates if x < W_pad] + [0]:
+                if cost(h, w, cb) >= best_cost:
+                    continue
+                if miss(h, w, cb) == 0.0:
+                    best, best_cost = (h, w, cb), cost(h, w, cb)
+                    break
+    return best
+
+
 def tune_cascade_windows(batch: dict, cas, margin: int = 0):
     """Re-tune every per-level Pallas/windowed kernel window for the scene
     geometry in ``batch`` (uses src/tar cameras + scene near_far only).
@@ -181,23 +264,184 @@ def tune_cascade_windows(batch: dict, cas, margin: int = 0):
     import jax
 
     warp = []
-    img = []
+    img_row = []
+    img_p = []
     img_w = []
+    img_cb = []
     # camera-geometry math only — run on host CPU so tuning never pays
     # (remote) TPU compiles for dozens of tiny programs
     with jax.default_device(jax.devices("cpu")[0]):
         for i in range(cas.num):
             warp.append(tune_warp_window(batch, cas, i) + margin)
-            img.append(tune_img_window(batch, cas, i) + margin)
-            # x-windows shrink the dominant sample-stage matmul; margin
-            # scales by the lane tile (origins are 128-aligned)
-            w = tune_img_window_w(batch, cas, i, img[-1])
+            # row-level y window: the XLA windowed fallback path samples
+            # one band per row, so it needs the whole-row span
+            img_row.append(tune_img_window(batch, cas, i) + margin)
+            # the Pallas sampler with an x-window uses per-chunk origins:
+            # jointly tune (h, w) for minimal matmul cost; margin scales
+            # by the lane tile in x (origins are 128-aligned)
+            h, w, cb = tune_img_windows_joint(batch, cas, i, img_row[-1])
+            img_p.append(h + margin)
             img_w.append(w + 128 * (margin > 0) if w else 0)
+            img_cb.append(cb)
     return dataclasses.replace(
         cas,
         pallas_window_h=tuple(warp),
         warp_window_h=tuple(max(w, x) for w, x in zip(warp, cas.warp_window_h)),
-        pallas_img_window_h=tuple(img),
-        img_window_h=tuple(img),
+        pallas_img_window_h=tuple(img_p),
+        img_window_h=tuple(img_row),
         pallas_img_window_w=tuple(img_w),
+        pallas_img_chunk_bands=tuple(img_cb),
+    )
+
+
+def _true_sample_spans(cams, bounds, H_r, W_r, n_samples, inverse):
+    """Projected source coordinates of the render's ACTUAL sample
+    positions, per (volume, view): list of (H_r, W_r*Ns, 2).
+
+    ``cams`` = (tar_ixts (BK,3,3) at render scale, tar_exts (BK,4,4),
+    src_ixts (BK,S,3,3) at render scale, src_exts (BK,S,4,4));
+    ``bounds`` (BK, H_r, W_r, 4) per-ray [near, far, vol_near, vol_far]
+    (disparities when ``inverse``) — the exact values the render samples
+    between (ops/render.sample_along_depth).
+    """
+    import jax
+
+    tar_ixts, tar_exts, src_ixts, src_exts = cams
+    BK = bounds.shape[0]
+    idx = jnp.arange(H_r * W_r, dtype=jnp.int32)[None]
+    t = jnp.linspace(0.0, 1.0, n_samples, dtype=jnp.float32)
+
+    spans = []
+    for bk in range(BK):
+        xy = geometry.flat_idx_to_xy(idx, W_r)
+        ray_o, ray_d = geometry.rays_from_pixels(
+            tar_ixts[bk : bk + 1], tar_exts[bk : bk + 1], xy
+        )
+        nf = bounds[bk].reshape(1, H_r * W_r, 4)
+        z = nf[..., 0:1] + (nf[..., 1:2] - nf[..., 0:1]) * t  # (1, N, Ns)
+        depth = 1.0 / jnp.maximum(z, 1e-6) if inverse else z
+        pts = (
+            ray_o[..., None, :] + ray_d[..., None, :] * depth[..., None]
+        ).reshape(1, H_r * W_r * n_samples, 3)
+        for s in range(src_exts.shape[1]):
+            sxy, _ = geometry.project_points(
+                pts, src_exts[bk : bk + 1, s], src_ixts[bk : bk + 1, s]
+            )
+            spans.append(
+                np.asarray(sxy.reshape(H_r, W_r * n_samples, 2))
+            )
+    return spans
+
+
+def tune_cascade_windows_calibrated(
+    batch: dict, cas, variables, margin: int = 2
+):
+    """Depth-calibrated sampler windows: a per-scene calibration pass.
+
+    Endpoint-sound tuning (tune_cascade_windows) bounds sample spans by
+    the SCENE near/far envelope, which forces fine-level y-windows of ~64
+    rows at the Free eval geometry; the actual depth-guided samples lie in
+    the far tighter per-ray [depth-std, depth+std] bands (reference
+    lib/networks/enerf/utils.py:392-443). This runs the volume stages once
+    at the endpoint-safe windows — the sampler windows do not affect the
+    depth maps, so the bounds computed here are EXACTLY the production
+    ones — projects the true sample positions into every source view, and
+    re-tunes the sampler (h, w, band-mode) against those spans with the
+    kernel's own coverage checker. ``margin`` adds y rows (and one x lane
+    tile when > 0) of slack; tune per target view, or over a sample of
+    views taking per-level maxima, when reusing windows across a scene.
+    Analogous one-time precompute to the reference's view_selection.json.
+    """
+    import jax
+
+    from boostmvsnerfs_tpu.models.boost_enerf import BoostENeRF, _take_views
+    from boostmvsnerfs_tpu.models.enerf import ENeRF
+    from boostmvsnerfs_tpu.ops import render
+    from boostmvsnerfs_tpu.parallel.staged import StagedENeRF
+
+    safe = tune_cascade_windows(batch, cas)
+    boost = "combos" in batch
+    model = (BoostENeRF if boost else ENeRF)(cas=safe)
+    staged = StagedENeRF(model)
+    jb = {k: jnp.asarray(v) for k, v in batch.items() if k != "meta"}
+
+    B = jb["all_src_inps" if boost else "src_inps"].shape[0]
+    if boost:
+        K = safe.k_best
+        sel = jnp.take(jb["combos"], jb["k_best"], axis=0)
+        I = sel.shape[-1]
+
+        def fold(x):
+            g = _take_views(x, sel.reshape(B, K * I))
+            return g.reshape(B * K, I, *x.shape[2:])
+
+        def rep(x):
+            return jnp.repeat(x, K, axis=0)
+
+        src_inps = fold(jb["all_src_inps"])
+        src_exts = fold(jb["all_src_exts"])
+        src_ixts = fold(jb["all_src_ixts"])
+        tar_ext = rep(jb["tar_ext"])
+        tar_ixt = rep(jb["tar_ixt"])
+        near_far = rep(jb["near_far"])
+        feats = {
+            lvl: fold(f)
+            for lvl, f in staged._features(
+                {"params": variables["params"],
+                 "batch_stats": variables["batch_stats"]},
+                jb["all_src_inps"],
+            ).items()
+        }
+    else:
+        src_inps, src_exts, src_ixts = (
+            jb["src_inps"], jb["src_exts"], jb["src_ixts"]
+        )
+        tar_ext, tar_ixt, near_far = (
+            jb["tar_ext"], jb["tar_ixt"], jb["near_far"]
+        )
+        feats = staged._features(
+            {"params": variables["params"],
+             "batch_stats": variables["batch_stats"]},
+            src_inps,
+        )
+
+    H, W = src_inps.shape[2], src_inps.shape[3]
+    var = {"params": variables["params"],
+           "batch_stats": variables["batch_stats"]}
+
+    img_p, img_w, img_cb = [], [], []
+    prev = None
+    for i in range(cas.num):
+        feat_vol, depth, std, nf_map = staged._volume[i](
+            var, feats, src_exts, src_ixts, tar_ext, tar_ixt, near_far,
+            prev,
+        )
+        prev = (depth, std, nf_map)
+        H_r = int(H * cas.render_scale[i])
+        W_r = int(W * cas.render_scale[i])
+        inv = cas.depth_inv[i]
+        bounds = render.ray_bounds_maps(depth, std, nf_map, H_r, W_r, inv)
+        with jax.default_device(jax.devices("cpu")[0]):
+            cams = (
+                geometry.scale_ixt(tar_ixt, cas.render_scale[i]),
+                tar_ext,
+                geometry.scale_ixt(src_ixts, cas.render_scale[i]),
+                src_exts,
+            )
+            spans = _true_sample_spans(
+                cams, np.asarray(bounds), H_r, W_r, cas.num_samples[i], inv
+            )
+            h, w, cb = tune_img_windows_joint(
+                batch, cas, i, safe.pallas_img_window_h[i],
+                spans_hw=(spans, (H_r, W_r)),
+                n_samples=cas.num_samples[i],
+            )
+        img_p.append(min(h + margin, safe.pallas_img_window_h[i]))
+        img_w.append(w + 128 * (margin > 0) if w else 0)
+        img_cb.append(cb)
+    return dataclasses.replace(
+        safe,
+        pallas_img_window_h=tuple(img_p),
+        pallas_img_window_w=tuple(img_w),
+        pallas_img_chunk_bands=tuple(img_cb),
     )

@@ -292,3 +292,102 @@ def test_fused_row_sample_diff_grads_x_window(rng):
             np.asarray(a), np.asarray(b), rtol=1e-4, atol=1e-4,
             err_msg=name,
         )
+
+
+def test_fused_row_sample_chunked_band_tight_y_window(rng):
+    """Chunked-band DMA mode (non-resident image + x-window): per-chunk y
+    origins admit a y-window that row-level banding could NOT cover —
+    each canonical chunk's y-span is small while the whole row's span is
+    large. Exact when row_sample_coverage (per-chunk aware) reports 0."""
+    from boostmvsnerfs_tpu.ops.pallas.img_sample import row_sample_coverage
+
+    V, H, W, C, R, T = 1, 512, 640, 16, 6, 512
+    imgs = jnp.asarray(rng.standard_normal((V, H, W, C)).astype(np.float32))
+    # x drifts slowly; y advances steeply ACROSS the row: per-(128-col)
+    # chunk y-span ~12 rows, whole-row span ~200 rows
+    xs = 90.0 + np.linspace(0, 60, T)[None, None] + rng.normal(
+        0, 0.3, (V, R, T)
+    )
+    ys = (
+        60.0
+        + 20.0 * np.arange(R)[None, :, None]
+        + np.linspace(0, 200, T)[None, None]
+        + rng.normal(0, 0.5, (V, R, T))
+    )
+    x = jnp.asarray(xs.astype(np.float32))
+    y = jnp.asarray(ys.astype(np.float32))
+    # whC = 16*16=256 -> canonical Tc = 512: spans ~100 y rows/chunk; use
+    # Tc-sized window 128 (fits), whole row (~200) would not fit 128
+    wh = 128
+    assert float(row_sample_coverage(
+        (H, W, C), x, y, wh, 256, "border", chunk_bands=True
+    )) == 0.0
+    got = fused_row_sample(
+        imgs, x, y, window_h=wh, padding_mode="border",
+        compute_dtype=jnp.float32, interpret=INTERPRET, window_w=256,
+        chunk_bands=True,
+    )
+    xy = jnp.stack([x, y], axis=-1).reshape(V, R * T, 2)
+    want = jax.vmap(
+        lambda im, c: sampling.grid_sample_2d(im, c, "border")
+    )(imgs, xy).reshape(V, R, T, -1)
+    np.testing.assert_allclose(
+        np.asarray(got), np.asarray(want), rtol=1e-4, atol=1e-5
+    )
+
+
+def test_fused_row_sample_diff_grads_chunked_band(rng):
+    """Gradient parity in the chunked-band mode (f32 non-resident image +
+    x-window): the backward's per-chunk band RMW must reproduce the
+    gather-path gradients."""
+    from boostmvsnerfs_tpu.ops.pallas.img_sample import (
+        fused_row_sample_diff,
+        row_sample_coverage,
+    )
+
+    V, H, W, C, R, T = 1, 512, 640, 16, 3, 256
+    imgs = jnp.asarray(rng.standard_normal((V, H, W, C)).astype(np.float32))
+    xs = 120.0 + np.linspace(0, 50, T)[None, None] + rng.normal(
+        0, 0.3, (V, R, T)
+    )
+    ys = (
+        80.0
+        + 30.0 * np.arange(R)[None, :, None]
+        + np.linspace(0, 40, T)[None, None]
+        + rng.normal(0, 0.4, (V, R, T))
+    )
+    x = jnp.asarray(xs.astype(np.float32)) + 0.17
+    y = jnp.asarray(ys.astype(np.float32)) + 0.23
+    wh = 64
+    assert float(row_sample_coverage(
+        (H, W, C), x, y, wh, 256, "border", chunk_bands=True
+    )) == 0.0
+    w = jnp.asarray(
+        np.random.default_rng(5).standard_normal((V, R, T, C)), jnp.float32
+    )
+
+    def loss_fused(im, xx, yy):
+        out = fused_row_sample_diff(
+            im, xx, yy, wh, "border", INTERPRET, 256, True
+        )
+        return jnp.sum(out * w)
+
+    def loss_oracle(im, xx, yy):
+        xy = jnp.stack([xx, yy], axis=-1).reshape(V, R * T, 2)
+        out = jax.vmap(
+            lambda i, c: sampling.grid_sample_2d(i, c, "border")
+        )(im, xy).reshape(V, R, T, -1)
+        return jnp.sum(out * w)
+
+    np.testing.assert_allclose(
+        np.asarray(loss_fused(imgs, x, y)),
+        np.asarray(loss_oracle(imgs, x, y)),
+        rtol=1e-4,
+    )
+    g_f = jax.grad(loss_fused, argnums=(0, 1, 2))(imgs, x, y)
+    g_o = jax.grad(loss_oracle, argnums=(0, 1, 2))(imgs, x, y)
+    for a, b, name in zip(g_f, g_o, ("d_imgs", "d_x", "d_y")):
+        np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), rtol=1e-4, atol=1e-4,
+            err_msg=name,
+        )
