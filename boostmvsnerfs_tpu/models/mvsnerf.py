@@ -544,10 +544,15 @@ class MVSNeRF(nn.Module):
         N_rays = ray_idx.shape[1]
         from boostmvsnerfs_tpu.ops import pallas as pallas_ops
 
+        # whole raster ROWS (a row-block chunk of a full-image render, or
+        # the full image) keep the row-band sampler applicable; the ray
+        # pixel ids carry global coordinates so any contiguous row block
+        # works (parallel/staged.StagedMVSNeRF chunks this way)
+        H_rows = N_rays // W if N_rays % W == 0 else 0
         use_pallas = (
             not train
             and self.cfg.eval_sampling == "pallas"
-            and N_rays == H * W
+            and H_rows > 0
             # non-TPU backends take the XLA structured/gather fallback
             # instead of Pallas interpret mode
             and pallas_ops.pallas_supported()
@@ -559,18 +564,18 @@ class MVSNeRF(nn.Module):
             )
 
             # (h, sample, w)-ordered rows keep each row's (y, z) bands tight
-            c = jnp.swapaxes(vox_xyz.reshape(B, H, W, D, 3), 2, 3)
+            c = jnp.swapaxes(vox_xyz.reshape(B, H_rows, W, D, 3), 2, 3)
             ray_feats = fused_tri_sample(
                 volume,
-                c[..., 0].reshape(B, H * D, W),
-                c[..., 1].reshape(B, H * D, W),
-                c[..., 2].reshape(B, H * D, W),
+                c[..., 0].reshape(B, H_rows * D, W),
+                c[..., 1].reshape(B, H_rows * D, W),
+                c[..., 2].reshape(B, H_rows * D, W),
                 window_h=cfg.pallas_vol_window_h,
                 window_z=cfg.pallas_vol_window_z,
                 interpret=pallas_interpret(),
-            )  # (B, H*D, W, 8)
+            )  # (B, H_rows*D, W, 8)
             ray_feats = jnp.swapaxes(
-                ray_feats.reshape(B, H, D, W, -1), 2, 3
+                ray_feats.reshape(B, H_rows, D, W, -1), 2, 3
             ).reshape(B, N_rays * D, -1)
         else:
             ray_feats = jax.vmap(
@@ -593,21 +598,21 @@ class MVSNeRF(nn.Module):
                 xy_v, _ = geometry.project_points(
                     pts, batch["src_exts"][:, v], batch["src_ixts"][:, v],
                 )
-                c = xy_v.reshape(B, H, W, D, 2)
-                c = jnp.swapaxes(c, 2, 3)  # (B, H, D, W, 2)
-                xs.append(c[..., 0].reshape(B, H * D, W))
-                ys.append(c[..., 1].reshape(B, H * D, W))
-            x_all = jnp.stack(xs, 1).reshape(B * V, H * D, W)
-            y_all = jnp.stack(ys, 1).reshape(B * V, H * D, W)
+                c = xy_v.reshape(B, H_rows, W, D, 2)
+                c = jnp.swapaxes(c, 2, 3)  # (B, H_rows, D, W, 2)
+                xs.append(c[..., 0].reshape(B, H_rows * D, W))
+                ys.append(c[..., 1].reshape(B, H_rows * D, W))
+            x_all = jnp.stack(xs, 1).reshape(B * V, H_rows * D, W)
+            y_all = jnp.stack(ys, 1).reshape(B * V, H_rows * D, W)
             imgs = rgbs.reshape(B * V, H, W, 3)
             col = fused_row_sample(
                 imgs, x_all, y_all,
                 window_h=self.cfg.pallas_img_window_h,
                 padding_mode="border",
                 interpret=pallas_interpret(),
-            )  # (B*V, H*D, W, 3)
-            col = col.reshape(B, V, H, D, W, 3)
-            col = jnp.swapaxes(col, 3, 4).reshape(B, V, H * W * D, 3)
+            )  # (B*V, H_rows*D, W, 3)
+            col = col.reshape(B, V, H_rows, D, W, 3)
+            col = jnp.swapaxes(col, 3, 4).reshape(B, V, N_rays * D, 3)
             for v in range(V):
                 xy_v, _ = geometry.project_points(
                     pts, batch["src_exts"][:, v], batch["src_ixts"][:, v],

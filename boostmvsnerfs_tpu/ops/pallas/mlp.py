@@ -133,6 +133,12 @@ def fused_renderer_mlp(
         out_specs=pl.BlockSpec((NB, 4), lambda i: (i, 0),
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((padded, 4), jnp.float32),
+        # the 4096-sample block sits within ~512B of Mosaic's 16MB scoped
+        # default at some grid sizes (double-buffered IO + ~3 live
+        # (NB, 128) activations); give it headroom like the warp backward
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=24 * 2**20,
+        ),
         interpret=interpret,
     )(x, f, d, *leaves)
     return out[:total].reshape(B, N, 4)

@@ -267,3 +267,157 @@ def _render_batch(batch: dict) -> dict:
     """The subset of batch keys render_level reads (hashable-stable)."""
     keys = ["src_inps", "src_exts", "src_ixts", "tar_ext", "tar_ixt"]
     return {k: batch[k] for k in keys}
+
+
+class StagedMVSNeRF:
+    """Stage-jitted MVSNeRF / BoostMVSNeRF forward for evaluation.
+
+    The monolithic forward at real geometry materializes the positional
+    encodings + per-sample features of every ray at once (K=4, D=32,
+    86ch/sample — ~20GB HBM at 224x352) and OOMs a single chip. This
+    executor jits (features, per-combo volume build, row-block render)
+    separately and marches the rays in blocks of whole raster rows —
+    the TPU-native equivalent of the reference's serial ray chunks
+    (lib/networks/boost_mvsnerf/network.py:97-135, N_rays//10) that keeps
+    the fused Pallas row samplers applicable (models/mvsnerf.py
+    render_volume H_rows blocks). The cross-K blend runs per block (rays
+    are independent) and blocks concatenate on the host side of the jit
+    boundary while staying on device.
+    """
+
+    def __init__(self, model, row_chunk: int = 32):
+        from boostmvsnerfs_tpu.models.boost_mvsnerf import BoostMVSNeRF
+        from boostmvsnerfs_tpu.models.mvsnerf import MVSNeRF
+
+        self.model = model
+        self.cfg = model.cfg
+        self.boost = isinstance(model, BoostMVSNeRF)
+        self.row_chunk = row_chunk
+        m = model
+
+        self._features = jax.jit(
+            lambda v, x: m.apply(
+                v, x, False, method=MVSNeRF.extract_features
+            )
+        )
+        self._volume = jax.jit(
+            lambda v, src, feats, pm, dv: m.apply(
+                v, src, feats, pm, dv, False, method=MVSNeRF.build_volume
+            )
+        )
+        self._render = {
+            wm: jax.jit(
+                partial(
+                    lambda with_mask, v, sub, vol, ridx, near, far: m.apply(
+                        v, sub, vol, ridx, near, far, False, with_mask,
+                        method=MVSNeRF.render_volume,
+                    ),
+                    wm,
+                )
+            )
+            for wm in (False, True)
+        }
+
+        def blend(raws, masks, zs):
+            masks = render.normalize_blend_masks(masks)
+            return render.composite_blend(raws, masks, zs)
+
+        self._blend = jax.jit(blend)
+        self._composite = jax.jit(
+            lambda raw, z: render.composite(raw, z, softmax_depth=True)
+        )
+
+    def _ray_blocks(self, ray_idx, W):
+        B, N = ray_idx.shape
+        rows = N // W if N % W == 0 else 0
+        rc = self.row_chunk
+        if rows == 0 or rows <= rc or rows % rc != 0:
+            return [ray_idx]
+        return [
+            ray_idx[:, r * W * rc:(r + 1) * W * rc]
+            for r in range(rows // rc)
+        ]
+
+    def __call__(self, variables, batch: dict) -> dict:
+        from boostmvsnerfs_tpu.models.boost_enerf import _take_views
+        from boostmvsnerfs_tpu.models.mvsnerf import mvs_proj_mats
+
+        cfg = self.cfg
+        m_vars = variables
+        if self.boost:
+            K = cfg.k_best
+            B = batch["all_src_inps"].shape[0]
+            sel = jnp.take(batch["combos"], batch["k_best"], axis=0)
+            I = sel.shape[-1]
+
+            def fold(x):
+                g = _take_views(x, sel.reshape(B, K * I))
+                return g.reshape(B * K, I, *x.shape[2:])
+
+            def rep(x):
+                return jnp.repeat(x, K, axis=0)
+
+            feats_all = self._features(m_vars, batch["all_src_inps"])
+            sub = {
+                "src_inps": fold(batch["all_src_inps"]),
+                "src_exts": fold(batch["all_src_exts"]),
+                "src_ixts": fold(batch["all_src_ixts"]),
+                "tar_ext": rep(batch["tar_ext"]),
+                "tar_ixt": rep(batch["tar_ixt"]),
+            }
+            feats = fold(feats_all)
+            dr = fold(batch["depth_ranges"])
+            near = jnp.min(dr[..., 0], axis=1) * cfg.near_far_scale[0]
+            far = jnp.max(dr[..., 1], axis=1) * cfg.near_far_scale[1]
+            t = jnp.linspace(0.0, 1.0, cfg.num_samples)
+            dv = near[:, None] * (1 - t) + far[:, None] * t
+            pm = mvs_proj_mats(sub["src_ixts"], sub["src_exts"])
+            volume = self._volume(m_vars, sub["src_inps"], feats, pm, dv)
+
+            W = batch["all_src_inps"].shape[3]
+            outs = []
+            for ridx in self._ray_blocks(batch["ray_idx_0"], W):
+                raw = self._render[True](
+                    m_vars, sub, volume, rep(ridx), near, far
+                )
+                raws = raw["net_output"].reshape(
+                    B, K, *raw["net_output"].shape[1:]
+                )
+                masks = raw["mask"].reshape(B, K, *raw["mask"].shape[1:])
+                zs = raw["z_vals"].reshape(B, K, *raw["z_vals"].shape[1:])
+                outs.append(self._blend(raws, masks, zs))
+            merged = {
+                k: jnp.concatenate([o[k] for o in outs], axis=1)
+                for k in outs[0]
+            }
+            return {f"{k}_level0": v for k, v in merged.items()}
+
+        # plain MVSNeRF
+        V = cfg.n_views
+        feats = self._features(m_vars, batch["all_src_inps"])
+        sub = {
+            "src_inps": batch["all_src_inps"][:, :V],
+            "src_exts": batch["all_src_exts"][:, :V],
+            "src_ixts": batch["all_src_ixts"][:, :V],
+            "tar_ext": batch["tar_ext"],
+            "tar_ixt": batch["tar_ixt"],
+        }
+        dr = batch["depth_ranges"][:, :V]
+        near = jnp.min(dr[..., 0], axis=1) * cfg.near_far_scale[0]
+        far = jnp.max(dr[..., 1], axis=1) * cfg.near_far_scale[1]
+        t = jnp.linspace(0.0, 1.0, cfg.num_samples)
+        dv = near[:, None] * (1 - t) + far[:, None] * t
+        pm = mvs_proj_mats(sub["src_ixts"], sub["src_exts"])
+        volume = self._volume(
+            m_vars, sub["src_inps"], feats[:, :V], pm, dv
+        )
+        W = batch["all_src_inps"].shape[3]
+        outs = []
+        for ridx in self._ray_blocks(batch["ray_idx_0"], W):
+            raw = self._render[False](m_vars, sub, volume, ridx, near, far)
+            outs.append(self._composite(raw["net_output"], raw["z_vals"]))
+        merged = {
+            k: jnp.concatenate([o[k] for o in outs], axis=1)
+            for k in outs[0]
+        }
+        return {f"{k}_level0": v for k, v in merged.items()}

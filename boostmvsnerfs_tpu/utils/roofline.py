@@ -189,3 +189,73 @@ def speed_of_light(H, W, seconds, **kw):
         "gflops_per_view": costs.flops / 1e9,
         "gbytes_per_view": costs.bytes / 1e9,
     }
+
+
+def mvsnerf_render_costs(H, W, k_best=4, s_cv=3, D=32, pad=24,
+                         mlp_width=128, mlp_depth=6):
+    """Per-view FLOPs/bytes of the BoostMVSNeRF fused render
+    (models/boost_mvsnerf.py at the reference mvsnerf protocol:
+    one padded cost volume of D planes per selected combo, D samples per
+    ray, Renderer_ours MLP; reference lib/networks/mvsnerf/network.py).
+    """
+    h, w = H // 4, W // 4
+    hp, wp = h + 2 * pad, w + 2 * pad
+    stages = {}
+    # feature net: 8 stride-halving conv blocks 3->8->16->32 + toplayer
+    f = _conv2d(H, W, 3, 8, 3) + _conv2d(H, W, 8, 8, 3)
+    f += _conv2d(H // 2, W // 2, 8, 16, 5) + 2 * _conv2d(H // 2, W // 2, 16, 16, 3)
+    f += _conv2d(h, w, 16, 32, 5) + 2 * _conv2d(h, w, 32, 32, 3)
+    f += _conv2d(h, w, 32, 32, 1)
+    stages["features"] = Roofline(s_cv * 2 * f, s_cv * H * W * 3 * 4.0)
+    # plane-sweep warp of feats+rgb into the padded volume (windowed XLA
+    # matmuls, full source width): (window_h*C, w) x (w, wp) per row
+    warp = 2 * (32 + 3) * 32 * w * wp * hp * D * (s_cv - 1)
+    stages["warp"] = Roofline(
+        k_best * warp,
+        k_best * D * hp * wp * (9 + 32) * 4.0,
+    )
+    # 3D U-Net 41ch -> 8ch over (D, hp, wp)
+    cr = _conv3d(D, hp, wp, 41, 8)
+    cr += 2 * _conv3d(D // 2, hp // 2, wp // 2, 8, 16)
+    cr += 2 * _conv3d(D // 4, hp // 4, wp // 4, 16, 32)
+    cr += 2 * _conv3d(D // 8, hp // 8, wp // 8, 32, 64)
+    cr += _conv3d(D // 4, hp // 4, wp // 4, 64, 32)
+    cr += _conv3d(D // 2, hp // 2, wp // 2, 32, 16)
+    cr += _conv3d(D, hp, wp, 16, 8)
+    stages["costreg"] = Roofline(
+        k_best * cr, k_best * D * hp * wp * (41 + 8) * 4.0 * 2
+    )
+    # renderer MLP over N*D samples: pts 63 -> width, depth-1 hidden
+    # layers (skip re-injects 63 at layer 4), pts_bias 20 -> width,
+    # alpha/feature/views/rgb heads
+    n_pts = H * W * D
+    per = 2 * (63 * mlp_width + (mlp_depth - 1) * mlp_width * mlp_width
+               + 63 * mlp_width + 20 * mlp_width + mlp_width
+               + mlp_width * mlp_width + (mlp_width + 3) * mlp_width
+               + mlp_width * 3)
+    stages["mlp"] = Roofline(
+        k_best * n_pts * per,
+        k_best * n_pts * (63 + 20 + 3 + 4) * 4.0,
+    )
+    # per-sample volume + color lookups (counted as bytes; gather FLOPs
+    # are negligible next to the MLP)
+    stages["sampling"] = Roofline(
+        0.0, k_best * n_pts * (8 + s_cv * 4) * 4.0 * 2
+    )
+    stages["total"] = Roofline(
+        sum(s.flops for s in stages.values()),
+        sum(s.bytes for s in stages.values()),
+    )
+    return stages
+
+
+def mvsnerf_speed_of_light(H, W, seconds, **kw):
+    costs = mvsnerf_render_costs(H, W, **kw)["total"]
+    peak_f, peak_b = peaks()
+    mfu = costs.flops / seconds / peak_f
+    t_limit = max(costs.flops / peak_f, costs.bytes / peak_b)
+    return {
+        "mfu": mfu,
+        "sol_pct": t_limit / seconds,
+        "gflops_per_view": costs.flops / 1e9,
+    }

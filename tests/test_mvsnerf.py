@@ -123,3 +123,32 @@ def test_boost_mvsnerf_view_selection_masks(mvs_setup):
     assert masks.shape == (2, 1, H, W)
     m = np.asarray(masks)
     assert np.isfinite(m).all() and m.min() >= -1e-5 and m.max() <= 1 + 1e-5
+
+
+def test_staged_mvsnerf_matches_monolithic(mvs_setup):
+    """Row-block staged executor (parallel/staged.StagedMVSNeRF) must equal
+    the monolithic forward for plain AND boost models, including when the
+    full raster splits into multiple row blocks."""
+    from boostmvsnerfs_tpu.parallel.staged import StagedMVSNeRF
+
+    model, variables, batch = mvs_setup
+    full = dict(batch)
+    full["ray_idx_0"] = jnp.arange(H * W, dtype=jnp.int32)[None]
+    want = model.apply(variables, full, False)
+    got = StagedMVSNeRF(model, row_chunk=16)(variables, full)
+    for k in want:
+        # staged vs monolithic differ only by XLA fusion rounding
+        np.testing.assert_allclose(
+            np.asarray(got[k]), np.asarray(want[k]), rtol=1e-3, atol=1e-4,
+            err_msg=k,
+        )
+
+    bmodel = BoostMVSNeRF(cfg=CFG)
+    bvars = bmodel.init(jax.random.PRNGKey(1), full, False)
+    bwant = bmodel.apply(bvars, full, False)
+    bgot = StagedMVSNeRF(bmodel, row_chunk=16)(bvars, full)
+    for k in bwant:
+        np.testing.assert_allclose(
+            np.asarray(bgot[k]), np.asarray(bwant[k]), rtol=1e-3,
+            atol=1e-4, err_msg=k,
+        )
