@@ -129,6 +129,13 @@ class CascadeConfig:
     # accumulation — interpolation-weight rounding ~2^-9, well inside the
     # parity budget (tests/test_mixed_precision.py measures the PSNR delta)
     warp_dtype: str = "bfloat16"
+    # train-time plane-block streaming of the windowed warp backward:
+    # planes per remat block (0 = auto from a ~128MB weight budget; 1+ =
+    # explicit). The windowed formulation's per-plane interpolation-weight
+    # tensors are rebuilt per block in the backward instead of being
+    # retained/rematerialized all at once (several GB per level at eval
+    # geometry)
+    warp_remat_planes: tuple = (0, 0)
     # variant knobs (reference aux networks): MinCostRegNet at every level
     # + image-feature-only NeRF head = the composite layered variant's
     # per-layer stack (lib/networks/enerf/network_composite.py:18-21 with
@@ -299,8 +306,9 @@ class ENeRF(nn.Module):
         elif cas.warp_mode in ("windowed", "pallas"):
             cols = cas.warp_cols_per_tile[level]
             win_w = cas.warp_window_w[level] if cols else 0
-            vol = jax.vmap(
-                lambda f, p, d: cost_volume.variance_volume_windowed(
+
+            def warp_one(f, p, d):
+                return cost_volume.variance_volume_windowed(
                     f, p, d,
                     window_h=cas.warp_window_h[level],
                     # full source width when not column-tiled: exact in x
@@ -311,7 +319,32 @@ class ENeRF(nn.Module):
                     compute_dtype=None if train else cas._warp_dt(),
                     cols_per_tile=cols,
                 )
-            )(feats[f"level_{level}"], pm, dv)
+
+            if train:
+                # stream the warp over plane blocks with per-block remat:
+                # plain remat still materializes EVERY plane's
+                # interpolation weights at once during the backward
+                # recompute; a scan bounds the transient to one block
+                Ws_src = feats[f"level_{level}"].shape[3]
+                pb = cas.warp_remat_planes[level]
+                if pb <= 0:
+                    pb = max(1, (2**27) // max(Hv * Wv * Ws_src * 4, 1))
+
+                def warp_scan(f, p, d, pb=pb):
+                    Dp = d.shape[0]
+                    if Dp <= pb or Dp % pb != 0:
+                        return jax.checkpoint(warp_one)(f, p, d)
+                    blocks = d.reshape(Dp // pb, pb, *d.shape[1:])
+
+                    def body(carry, db):
+                        return carry, warp_one(f, p, db)
+
+                    _, vb = jax.lax.scan(jax.checkpoint(body), 0.0, blocks)
+                    return vb.reshape(Dp, *vb.shape[2:])
+
+                vol = jax.vmap(warp_scan)(feats[f"level_{level}"], pm, dv)
+            else:
+                vol = jax.vmap(warp_one)(feats[f"level_{level}"], pm, dv)
         else:
             vol = jax.vmap(cost_volume.variance_volume)(
                 feats[f"level_{level}"], pm, dv

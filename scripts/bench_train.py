@@ -48,6 +48,10 @@ def main():
     ap.add_argument("--modes", default="baseline,fast")
     ap.add_argument("--model", default="boost", choices=("boost", "enerf"))
     ap.add_argument("--n-views", type=int, default=6)
+    ap.add_argument("--ray-blocks", type=int, default=0,
+                    help="ray-blocked remat step (memory-bounded backward;"
+                         " enables full 480x736 full-image training on one"
+                         " chip)")
     ap.add_argument("--json", default="")
     args = ap.parse_args()
 
@@ -79,7 +83,14 @@ def main():
             {"lr": 5e-5, "optim": "adam", "eps": 1e-8}, ep_iter=500
         )
         state = create_train_state(model, tx, batch, variables=variables)
-        step = make_train_step(model, tx)
+        if args.ray_blocks > 1:
+            from boostmvsnerfs_tpu.parallel.train import (
+                make_blocked_train_step,
+            )
+
+            step = make_blocked_train_step(model, tx, args.ray_blocks)
+        else:
+            step = make_train_step(model, tx)
 
         t0 = time.perf_counter()
         state, stats = step(state, batch)
@@ -102,7 +113,8 @@ def main():
         print(
             json.dumps(
                 {
-                    "metric": f"train_step_{args.model}_{mode}",
+                    "metric": f"train_step_{args.model}_{mode}"
+                    + (f"_rb{args.ray_blocks}" if args.ray_blocks > 1 else ""),
                     "value": round(n_rays / dt, 1),
                     "unit": "rays/s",
                     "step_seconds": round(dt, 4),

@@ -194,3 +194,71 @@ def test_syncbn_gspmd_global_stats():
                     jax.tree_util.tree_leaves(ref_stats)):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b),
                                    rtol=1e-5, atol=1e-6)
+
+
+def test_blocked_train_step_matches_plain(boost_setup):
+    """Ray-blocked remat train step (make_blocked_train_step) must produce
+    the same loss, gradients (via updated params), and BN stats as the
+    plain step — the blocks only change WHEN activations exist, not the
+    math. Checked for the flagship boost model and the plain ENeRF."""
+    from boostmvsnerfs_tpu.parallel.train import make_blocked_train_step
+
+    model, variables, batch = boost_setup
+    tx = make_optimizer({"lr": 5e-4, "optim": "adam", "eps": 1e-8},
+                        ep_iter=100)
+    s0 = create_train_state(model, tx, batch, variables=variables)
+    plain = make_train_step(model, tx)
+    blocked = make_blocked_train_step(model, tx, ray_blocks=4)
+
+    sp, stp = plain(s0, batch)
+    sb, stb = blocked(s0, batch)
+    np.testing.assert_allclose(
+        float(stb["loss"]), float(stp["loss"]), rtol=1e-5
+    )
+    for (kp, lp), (kb, lb) in zip(
+        jax.tree_util.tree_leaves_with_path(sp.params),
+        jax.tree_util.tree_leaves_with_path(sb.params),
+    ):
+        np.testing.assert_allclose(
+            np.asarray(lb), np.asarray(lp), rtol=2e-3, atol=2e-6,
+            err_msg=str(kp),
+        )
+    for (kp, lp), (kb, lb) in zip(
+        jax.tree_util.tree_leaves_with_path(sp.batch_stats),
+        jax.tree_util.tree_leaves_with_path(sb.batch_stats),
+    ):
+        np.testing.assert_allclose(
+            np.asarray(lb), np.asarray(lp), rtol=1e-4, atol=1e-6,
+            err_msg=str(kp),
+        )
+
+
+def test_warp_plane_streaming_matches_plain(boost_setup):
+    """Plane-block-streamed windowed-warp backward (warp_remat_planes)
+    must not change the training math: same loss and updated params as
+    the unstreamed step."""
+    import dataclasses
+
+    from boostmvsnerfs_tpu.models.boost_enerf import BoostENeRF
+
+    model, variables, batch = boost_setup
+    tx = make_optimizer({"lr": 5e-4, "optim": "adam", "eps": 1e-8},
+                        ep_iter=100)
+    s0 = create_train_state(model, tx, batch, variables=variables)
+    want, stw = make_train_step(model, tx)(s0, batch)
+
+    streamed = BoostENeRF(
+        cas=dataclasses.replace(model.cas, warp_remat_planes=(2, 2))
+    )
+    got, stg = make_train_step(streamed, tx)(s0, batch)
+    np.testing.assert_allclose(
+        float(stg["loss"]), float(stw["loss"]), rtol=1e-6
+    )
+    for (kp, lw), (_, lg) in zip(
+        jax.tree_util.tree_leaves_with_path(want.params),
+        jax.tree_util.tree_leaves_with_path(got.params),
+    ):
+        np.testing.assert_allclose(
+            np.asarray(lg), np.asarray(lw), rtol=2e-3, atol=2e-6,
+            err_msg=str(kp),
+        )
