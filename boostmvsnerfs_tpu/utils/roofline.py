@@ -75,6 +75,18 @@ def img_sample_flops(H_r, W_r, Ns, Hs, Ws, Cp, window_h, n_cv, s_cv,
     return n_cv * s_cv * H_r * per_row
 
 
+def img_sample_bytes(H_r, W_r, Ns, Hs, Ws, Cp, window_h, n_cv, s_cv,
+                     itemsize=2.0):
+    """Actual HBM traffic of the fused row sampler's band-per-row DMA mode:
+    each target row re-fetches its (window_h*Cp, W_pad) source band (bands
+    of neighboring rows overlap, so this is ~window_h x the one-pass image
+    read the naive count assumes), plus the kernel-layout output."""
+    ws_pad = -(-Ws // 128) * 128
+    band = window_h * Cp * ws_pad * itemsize
+    out = W_r * Ns * Cp * 4.0
+    return n_cv * s_cv * H_r * (band + out)
+
+
 def nerf_head_flops(N, Ns, S, C):
     """NeRFHead + Agg (models/nerf_head.py); C = feat_ch incl. RGB."""
     per_sample = 0
@@ -140,8 +152,8 @@ def flagship_render_costs(H, W, n_views=6, k_best=4, s_cv=3, cas=None):
         img_sample_flops(H, W, Ns1, H, W, 16, cas.pallas_img_window_h[1],
                          k_best, s_cv,
                          window_w=cas.pallas_img_window_w[1]),
-        k_best * (s_cv * H * W * 16 * 2.0
-                  + H * W * Ns1 * s_cv * 16 * 4.0),
+        img_sample_bytes(H, W, Ns1, H, W, 16,
+                         cas.pallas_img_window_h[1], k_best, s_cv),
     )
     stages["nerf1"] = Roofline(
         k_best * nerf_head_flops(H * W, Ns1, s_cv, 8 + 3),
@@ -153,8 +165,8 @@ def flagship_render_costs(H, W, n_views=6, k_best=4, s_cv=3, cas=None):
         img_sample_flops(H // 4, W // 4, Ns0, H // 4, W // 4, 48,
                          cas.pallas_img_window_h[0], k_best, s_cv,
                          window_w=cas.pallas_img_window_w[0]),
-        k_best * (s_cv * (H // 4) * (W // 4) * 48 * 2.0
-                  + (H // 4) * (W // 4) * Ns0 * s_cv * 48 * 4.0),
+        img_sample_bytes(H // 4, W // 4, Ns0, H // 4, W // 4, 48,
+                         cas.pallas_img_window_h[0], k_best, s_cv),
     )
     stages["nerf0"] = Roofline(
         k_best * nerf_head_flops((H // 4) * (W // 4), Ns0, s_cv, 32 + 3),
