@@ -310,6 +310,16 @@ def make_forward(cfg, model):
         from boostmvsnerfs_tpu.parallel.staged import StagedENeRF
 
         return StagedENeRF(model)
+    from boostmvsnerfs_tpu.models.mvsnerf import MVSNeRF as _MVSNeRF
+
+    if cfg.get("execution", "staged") == "staged" and isinstance(
+        model, _MVSNeRF
+    ):
+        # row-block chunked executor: the monolithic mvsnerf forward
+        # materializes ~20GB of per-sample features at real eval geometry
+        from boostmvsnerfs_tpu.parallel.staged import StagedMVSNeRF
+
+        return StagedMVSNeRF(model)
     return jax.jit(lambda v, b: model.apply(v, b, False))
 
 
