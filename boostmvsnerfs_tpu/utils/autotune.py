@@ -139,38 +139,6 @@ def tune_img_window(batch: dict, cas, level: int,
 X_CANDIDATES = (128, 256, 384, 512, 768, 1024)
 
 
-def tune_img_window_w(batch: dict, cas, level: int, window_h: int,
-                      candidates=X_CANDIDATES) -> int:
-    """Minimal exact x-window of the fused row sampler's per-chunk
-    interpolation matmul at ``level`` (0 = full width when none fits).
-
-    Uses the kernel's own coverage checker
-    (ops.pallas.img_sample.row_sample_coverage), which reproduces the
-    column chunking and the 128-lane-aligned window origins."""
-    from boostmvsnerfs_tpu.ops.pallas.img_sample import row_sample_coverage
-
-    spans, (H_r, W_r) = _img_spans(batch, cas, level)
-    # render-scale feature maps have C+3 channels (feat + RGB)
-    C = (32, 16, 8)[cas.render_im_feat_level[level]] + 3
-    W_pad = -(-W_r // 128) * 128
-
-    def miss(w):
-        m = 0.0
-        for sxy in spans:
-            m = max(m, float(row_sample_coverage(
-                (H_r, W_r, C), sxy[..., 0], sxy[..., 1], window_h, w,
-                padding_mode="border",
-            )))
-        return m
-
-    for w in candidates:
-        if w >= W_pad:
-            break
-        if miss(w) == 0.0:
-            return w
-    return 0
-
-
 def tune_img_windows_joint(batch: dict, cas, level: int, fallback_h: int,
                            candidates=CANDIDATES,
                            x_candidates=X_CANDIDATES,
