@@ -8,19 +8,28 @@ typical capture rigs but generous: most of the render's arithmetic is
 spent multiplying rows of zero triangle weights (utils/roofline.py:
 sample1 alone is ~55% of flagship-render FLOPs at window 32).
 
-This module computes the **minimal exact windows for a given scene's
-cameras** and returns a re-tuned CascadeConfig. Key property making this
-sound without knowing the regressed depths: a pinhole projection maps a
-3D segment to an image-space segment, so projecting only the two *depth
-endpoints* (scene near/far) of every target ray/voxel column bounds the
-y-span of every intermediate depth sample. Coverage is then verified with
-the kernels' own exactness checkers (sampling.sample_window_coverage /
-pallas.warp_variance.warp_variance_coverage), evaluated with row-level
-grouping — conservative versus the kernels' tighter per-chunk bands.
+Two tuning modes:
 
-Windows depend only on the camera poses/intrinsics, so tuning once per
-scene (or over a sample of target views plus ``margin``) is enough; each
-distinct window re-compiles the stage jits once.
+* **Endpoint-sound** (``tune_cascade_windows``): minimal exact windows
+  knowing only the scene's cameras. Key property: a pinhole projection
+  maps a 3D segment to an image-space segment, so projecting the two
+  *depth endpoints* (scene near/far) of every target ray/voxel column
+  bounds the span of every intermediate depth sample. The joint sampler
+  tuner (``tune_img_windows_joint``) searches (y-window, x-window,
+  band mode) with the kernel's own per-chunk-aware coverage checker and
+  a roofline cost model (MXU FLOPs vs band-DMA bytes + DMA issue
+  overhead).
+* **Depth-calibrated** (``tune_cascade_windows_calibrated``): runs the
+  volume stages once and tunes against the ACTUAL per-ray
+  [depth-std, depth+std] bounds — identical to the production bounds,
+  since sampler windows don't affect the depth maps — projecting the
+  true sample positions. At the Free eval geometry this shrinks the
+  fine-level y-window from the endpoint envelope (~64 rows) to ~26.
+
+Windows depend on cameras (and, calibrated, on the scene's depth), so
+tuning once per scene — or over a sample of target views plus
+``margin`` — is enough; each distinct window re-compiles the stage jits
+once. A per-scene precompute, like the reference's view_selection.json.
 """
 
 from __future__ import annotations
