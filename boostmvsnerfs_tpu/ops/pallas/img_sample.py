@@ -11,9 +11,12 @@ weight matrices in HBM; here weights live only in VMEM:
 
 * Images are stored ``(H*Cp, W)`` — (y, c) packed in sublanes (channels
   zero-padded to Cp so a y-window is a 16-aligned sublane slice), x in
-  lanes. Small images stay resident in VMEM for the whole grid step; large
-  ones stay in HBM and each row's y-band is DMA'd into a VMEM scratch
-  (double-buffered against the previous row's compute).
+  lanes. Three source-access modes: small images stay RESIDENT in VMEM
+  for the whole grid step (per-chunk window origins); large ones stay in
+  HBM with one y-BAND DMA per row (row-level y origin), double-buffered
+  against the previous row's compute; with ``chunk_bands`` + an x-window,
+  a (window_k*Cp, Wx) band is DMA'd per (row, chunk) at per-chunk y/x
+  origins — tighter windows, more DMAs (the autotuner costs both).
 * Per target row: the x contraction is a full-K MXU matmul against triangle
   weights built on the VPU; the y interpolation is a fused mask followed by
   a constant channel-selection matmul. Long rows are processed in static
