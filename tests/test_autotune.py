@@ -87,3 +87,38 @@ def test_tune_warp_window_returns_candidate(rng):
     batch = _np_batch(rng)
     w = tune_warp_window(batch, CAS, 0)
     assert w in (8, 12, 16, 24, 32, 48, 64, 96, 128)
+
+
+def test_calibrated_windows_render_identically():
+    """Depth-calibrated sampler windows (tune_cascade_windows_calibrated)
+    must not change the render: the tuned model's output equals the
+    endpoint-safe model's output bit-for-bit, and the calibrated windows
+    are never larger than the endpoint-safe ones."""
+    from boostmvsnerfs_tpu.models.boost_enerf import BoostENeRF
+    from boostmvsnerfs_tpu.utils.autotune import (
+        tune_cascade_windows_calibrated,
+    )
+    from boostmvsnerfs_tpu.utils.init_utils import init_variables
+    from boostmvsnerfs_tpu.utils.synthetic import make_scene_batch
+
+    cas = CascadeConfig(k_best=2, volume_planes=(16, 8))
+    np_batch = make_scene_batch(
+        B=1, n_views=4, H=64, W=96, boost=True, k_best=2, seed=0
+    )
+    model = BoostENeRF(cas=cas)
+    variables = init_variables(model, np_batch)
+    safe = tune_cascade_windows(np_batch, cas)
+    tuned = tune_cascade_windows_calibrated(np_batch, cas, variables)
+    for i in range(cas.num):
+        assert tuned.pallas_img_window_h[i] <= safe.pallas_img_window_h[i]
+
+    batch = {k: jnp.asarray(v) for k, v in np_batch.items()}
+    kw = dict(eval_sampling="structured", warp_dtype="float32")
+    a = BoostENeRF(cas=dataclasses.replace(safe, **kw)).apply(
+        variables, batch, False
+    )
+    b = BoostENeRF(cas=dataclasses.replace(tuned, **kw)).apply(
+        variables, batch, False
+    )
+    for k in ("rgb_level0", "rgb_level1"):
+        np.testing.assert_array_equal(np.asarray(a[k]), np.asarray(b[k]))
