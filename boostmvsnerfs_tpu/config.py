@@ -237,7 +237,15 @@ def load_cfg_file(path: str, cfg: CfgNode | None = None) -> CfgNode:
 
 
 def make_cfg(cfg_file: str, opts: list | None = None) -> CfgNode:
-    cfg = load_cfg_file(cfg_file)
+    cfg = default_cfg()
+    # site-local default overrides (the reference merges an empty-by-default
+    # configs/default.yaml before every experiment config)
+    site_default = os.path.join("configs", "default.yaml")
+    if os.path.exists(site_default) and os.path.abspath(
+        site_default
+    ) != os.path.abspath(cfg_file):
+        cfg = load_cfg_file(site_default, cfg)
+    cfg = load_cfg_file(cfg_file, cfg)
     if opts:
         cfg.merge_from_list(list(opts))
     finalize_cfg(cfg)

@@ -47,6 +47,10 @@ def make_dataset(cfg, split: str):
             data_root, split, cas,
             ann_file=ds_cfg.get("ann_file"),
             scenes=[scene] if scene else None, n_views=n_views,
+            # default MVSNeRF-protocol split ids; overridable for
+            # reduced-camera captures (and fixture-scale tests)
+            train_ids=ds_cfg.get("train_ids"),
+            val_ids=ds_cfg.get("val_ids"),
         )
     if "custom" in module:
         from boostmvsnerfs_tpu.data.custom import CustomDataset

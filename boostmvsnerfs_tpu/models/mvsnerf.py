@@ -592,11 +592,18 @@ class MVSNeRF(nn.Module):
 
             # rows ordered (target row, sample index): the projected y-band
             # of one (h, d) row is tight, unlike (h, w*D) rows whose D
-            # samples sweep the whole depth range
-            xs, ys = [], []
+            # samples sweep the whole depth range. The per-view projection
+            # is computed once and reused for the in-viewport mask.
+            xs, ys, in_masks = [], [], []
             for v in range(V):
                 xy_v, _ = geometry.project_points(
                     pts, batch["src_exts"][:, v], batch["src_ixts"][:, v],
+                )
+                in_masks.append(
+                    (
+                        (xy_v[..., 0] >= 0) & (xy_v[..., 0] <= W - 1)
+                        & (xy_v[..., 1] >= 0) & (xy_v[..., 1] <= H - 1)
+                    ).astype(jnp.float32)[..., None]
                 )
                 c = xy_v.reshape(B, H_rows, W, D, 2)
                 c = jnp.swapaxes(c, 2, 3)  # (B, H_rows, D, W, 2)
@@ -614,15 +621,8 @@ class MVSNeRF(nn.Module):
             col = col.reshape(B, V, H_rows, D, W, 3)
             col = jnp.swapaxes(col, 3, 4).reshape(B, V, N_rays * D, 3)
             for v in range(V):
-                xy_v, _ = geometry.project_points(
-                    pts, batch["src_exts"][:, v], batch["src_ixts"][:, v],
-                )
-                in_mask = (
-                    (xy_v[..., 0] >= 0) & (xy_v[..., 0] <= W - 1)
-                    & (xy_v[..., 1] >= 0) & (xy_v[..., 1] <= H - 1)
-                ).astype(jnp.float32)[..., None]
                 color_feats.append(
-                    jnp.concatenate([col[:, v], in_mask], axis=-1)
+                    jnp.concatenate([col[:, v], in_masks[v]], axis=-1)
                 )
         else:
             for v in range(V):

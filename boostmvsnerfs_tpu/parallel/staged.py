@@ -37,11 +37,21 @@ class StagedENeRF:
     the stage boundaries already expose exactly the tensors that need
     constraints (SURVEY.md §2.3 TPU mapping (b))."""
 
-    def __init__(self, model: ENeRF, mesh=None):
+    def __init__(self, model: ENeRF, mesh=None, fuse_levels: bool | None = None,
+                 fuse_frame: bool = False):
         self.model = model
         self.cas = model.cas
         self.boost = isinstance(model, BoostENeRF)
         self.mesh = mesh
+        # fuse_levels: jit each cascade level's volume+render+blend as ONE
+        # program (3 dispatches/frame instead of 5-6). On the remote-tunnel
+        # TPU backend per-dispatch overhead is tens of ms, so fewer, larger
+        # programs win; compile time per level stays in staged territory.
+        # Defaults on for the boost eval pipeline (off under a mesh: the
+        # per-stage shardings below are tuned for the split stages).
+        if fuse_levels is None:
+            fuse_levels = mesh is None and self.boost
+        self.fuse_levels = fuse_levels
         m = model
 
         if mesh is not None:
@@ -53,8 +63,17 @@ class StagedENeRF:
         else:
             rep = cv = cv_rays = None
 
+        feat_jit_kw = {}
+        if mesh is not None:
+            # the per-view FPN is embarrassingly parallel over the source
+            # views: shard the view axis over ``cv`` (GSPMD pads 6 views
+            # onto 4 groups); the combo fold below re-gathers each view
+            # group's features with one all-gather on ``cv``
+            views = NamedSharding(mesh, P(None, "cv"))
+            feat_jit_kw = dict(in_shardings=(rep, views), out_shardings=views)
         self._features = jax.jit(
-            lambda v, x: m.apply(v, x, False, method=ENeRF.extract_features)
+            lambda v, x: m.apply(v, x, False, method=ENeRF.extract_features),
+            **feat_jit_kw,
         )
 
         def volume_stage(level, v, feats, src_exts, src_ixts, tar_ext,
@@ -141,6 +160,69 @@ class StagedENeRF:
                 )
                 for i in range(self.cas.num)
             }
+
+            # whole-level program: volume build + (optionally) fused
+            # render+blend in ONE dispatch — same functions in the same
+            # order as the split stages, so numerics are identical
+            def level_stage(level, K, render, v, feats, src_exts, src_ixts,
+                            tar_ext, tar_ixt, near_far, prev, rb, ray_idx):
+                feat_vol, depth, std, nf_map = m.apply(
+                    v, level, feats, src_exts, src_ixts, tar_ext, tar_ixt,
+                    near_far, prev, False, method=ENeRF.build_level_volume,
+                )
+                out = None
+                if render:
+                    raw_out = m.apply(
+                        v, level, feats, feat_vol, depth, std, nf_map, rb,
+                        ray_idx, False, True, method=ENeRF.render_level,
+                    )
+                    BK = raw_out["net_output"].shape[0]
+                    B = BK // K
+
+                    def unfold(a):
+                        return a.reshape(B, K, *a.shape[1:])
+
+                    out = self._blend_fn(
+                        unfold(raw_out["net_output"]),
+                        unfold(raw_out["mask"]),
+                        unfold(raw_out["z_vals"]),
+                        unfold(depth)[:, 0],
+                        unfold(std)[:, 0],
+                        inv=self.cas.depth_inv[level],
+                    )
+                return (depth, std, nf_map), out
+
+            if self.fuse_levels:
+                self._level = {
+                    i: jax.jit(partial(
+                        level_stage, i, self.cas.k_best,
+                        bool(self.cas.render_if[i]),
+                    ))
+                    for i in range(self.cas.num)
+                }
+
+            if fuse_frame:
+                # everything after the feature net in ONE program: the
+                # XLA scheduler sees the whole cascade, so inter-level
+                # tensors never cross a dispatch/relayout boundary
+                def frame_stage(v, feats, src_exts, src_ixts, tar_ext,
+                                tar_ixt, near_far, rb, ray_idxs):
+                    prev = None
+                    ret = {}
+                    for i in range(self.cas.num):
+                        prev, out = level_stage(
+                            i, self.cas.k_best, bool(self.cas.render_if[i]),
+                            v, feats, src_exts, src_ixts, tar_ext, tar_ixt,
+                            near_far, prev, rb, ray_idxs[i],
+                        )
+                        if out is not None:
+                            ret.update(
+                                {f"{k}_level{i}": x for k, x in out.items()}
+                            )
+                    return ret
+
+                self._frame = jax.jit(frame_stage)
+        self.fuse_frame = fuse_frame and self.boost
 
     @staticmethod
     def _mask_composite_fn(mask, n_samples: int):
@@ -247,7 +329,28 @@ class StagedENeRF:
 
         ret = {}
         prev = None
+        rb = _render_batch(sub)
+        last = cas.num - 1
+        if self.fuse_frame:
+            ridxs = {
+                i: rep(batch.get(f"ray_idx_{i}", batch[f"ray_idx_{last}"]))
+                for i in range(cas.num)
+            }
+            return self._frame(
+                variables, feats, sub["src_exts"], sub["src_ixts"],
+                sub["tar_ext"], sub["tar_ixt"], sub["near_far"], rb, ridxs,
+            )
         for i in range(cas.num):
+            ridx = rep(batch.get(f"ray_idx_{i}", batch[f"ray_idx_{last}"]))
+            if self.fuse_levels:
+                prev, out = self._level[i](
+                    variables, feats, sub["src_exts"], sub["src_ixts"],
+                    sub["tar_ext"], sub["tar_ixt"], sub["near_far"], prev,
+                    rb, ridx,
+                )
+                if out is not None:
+                    ret.update({f"{k}_level{i}": v for k, v in out.items()})
+                continue
             feat_vol, depth, std, nf_map = self._volume[i](
                 variables, feats, sub["src_exts"], sub["src_ixts"],
                 sub["tar_ext"], sub["tar_ixt"], sub["near_far"], prev,
@@ -256,8 +359,7 @@ class StagedENeRF:
             if not cas.render_if[i]:
                 continue
             out = self._render_blend[i](
-                variables, feats, feat_vol, depth, std, nf_map,
-                _render_batch(sub), rep(batch[f"ray_idx_{i}"]),
+                variables, feats, feat_vol, depth, std, nf_map, rb, ridx,
             )
             ret.update({f"{k}_level{i}": v for k, v in out.items()})
         return ret

@@ -248,6 +248,14 @@ def run_evaluate(cfg, model=None, variables=None):
     if variables is None:
         variables = _init_or_load(cfg, model, dataset, boost)
 
+    # per-scene sampler-window tuning on the first batch's cameras (the
+    # bench's calibrated mode; a setup pass like view selection)
+    if cfg.get("autotune_windows", True):
+        first = next(iter(loader), None)
+        if first is not None:
+            fb = attach_boost_inputs(dict(first), vs, cfg) if boost else first
+            model = autotune_model(cfg, model, fb, variables=variables)
+
     lpips_fn, lpips_key = _load_lpips(cfg)
     evaluator = Evaluator(
         cas,
@@ -299,6 +307,42 @@ def run_evaluate(cfg, model=None, variables=None):
         print(f"FPS: {fps:.3f}")
         ret["fps"] = fps
     return ret
+
+
+def autotune_model(cfg, model, np_batch, variables=None):
+    """Per-scene sampler-window tuning before the eval loop (the bench's
+    calibrated mode — utils/autotune.py): a one-time setup pass like the
+    reference's view-selection preprocessing. Tunes on the first batch's
+    cameras with a safety margin (``autotune_margin`` rows, default 4) for
+    the scene's remaining target views; disable with
+    ``autotune_windows: false``."""
+    if not cfg.get("autotune_windows", True):
+        return model
+    margin = int(cfg.get("autotune_margin", 4))
+    from boostmvsnerfs_tpu.models.enerf import ENeRF as _ENeRF
+    from boostmvsnerfs_tpu.models.mvsnerf import MVSNeRF as _MVSNeRF
+
+    batch = {k: np.asarray(v) for k, v in np_batch.items() if k != "meta"}
+    if isinstance(model, _ENeRF):
+        from boostmvsnerfs_tpu.utils.autotune import (
+            tune_cascade_windows,
+            tune_cascade_windows_calibrated,
+        )
+
+        if variables is not None and cfg.get("autotune_calibrate", True):
+            cas = tune_cascade_windows_calibrated(
+                batch, model.cas, variables, margin=margin
+            )
+        else:
+            cas = tune_cascade_windows(batch, model.cas, margin=margin)
+        return model.clone(cas=cas)
+    if isinstance(model, _MVSNeRF):
+        from boostmvsnerfs_tpu.utils.autotune import tune_mvsnerf_windows
+
+        return model.clone(
+            cfg=tune_mvsnerf_windows(batch, model.cfg, margin=margin)
+        )
+    return model
 
 
 def make_forward(cfg, model):

@@ -271,6 +271,135 @@ def tune_cascade_windows(batch: dict, cas, margin: int = 0):
     )
 
 
+TRI_Z_CANDIDATES = (2, 3, 4, 6, 8, 12, 16)
+
+
+def tune_mvsnerf_windows(batch: dict, cfg, margin: int = 1):
+    """Tune the StagedMVSNeRF fused-sampler windows for a scene's cameras.
+
+    The MVSNeRF sample positions are camera-determined (uniform depth
+    linspace between the scene near/far — reference
+    lib/networks/mvsnerf/network.py:1002-1013 — no depth guidance), so the
+    minimal exact (y, z) slab of the trilinear volume sampler
+    (ops/pallas/tri_sample.py) and the y-band of the per-view color
+    sampler (ops/pallas/img_sample.py) are computable without running the
+    network: replicate render_volume's exact coordinate math for the full
+    raster, then search the kernels' own coverage checkers. Returns a new
+    MVSNeRFConfig. One-time per-scene precompute like the reference's
+    view_selection.json.
+    """
+    import jax
+
+    from boostmvsnerfs_tpu.ops.pallas.img_sample import row_sample_coverage
+    from boostmvsnerfs_tpu.ops.pallas.tri_sample import tri_window_coverage
+    from boostmvsnerfs_tpu.models.mvsnerf import ndc_coords
+
+    boost = "combos" in batch
+    src_key = "all_src_inps"
+    B, n_all, H, W = np.asarray(batch[src_key]).shape[:4]
+    V = cfg.cost_volume_input_views if boost else cfg.n_views
+    D = cfg.num_samples
+    h, w = H // 4, W // 4
+    p = cfg.pad
+    hp, wp = h + 2 * p, w + 2 * p
+
+    # the (folded) view groups whose samplers run: every selected combo
+    # for the boost pipeline, the first V views otherwise — mirrors
+    # parallel/staged.StagedMVSNeRF.__call__
+    if boost:
+        sel = np.take(
+            np.asarray(batch["combos"]), np.asarray(batch["k_best"]), axis=0
+        )  # (B, K, I)
+        groups = [
+            (b, list(sel[b, k])) for b in range(B) for k in range(sel.shape[1])
+        ]
+    else:
+        groups = [(b, list(range(V))) for b in range(B)]
+
+    exts = np.asarray(batch["all_src_exts"])
+    ixts = np.asarray(batch["all_src_ixts"])
+    drs = np.asarray(batch["depth_ranges"])
+
+    vol_h = cfg.pallas_vol_window_h
+    vol_z = cfg.pallas_vol_window_z
+    img_h = cfg.pallas_img_window_h
+    best_h, best_z, best_img = 1, 1, 1
+    with jax.default_device(jax.devices("cpu")[0]):
+        idx = jnp.arange(H * W, dtype=jnp.int32)[None]
+        xy = geometry.flat_idx_to_xy(idx, W)
+        t = jnp.linspace(0.0, 1.0, D)
+        inv_scale = jnp.asarray([W - 1, H - 1], jnp.float32)
+
+        for b, views in groups:
+            dr = drs[b, views]
+            near = float(dr[:, 0].min()) * cfg.near_far_scale[0]
+            far = float(dr[:, 1].max()) * cfg.near_far_scale[1]
+            ray_o, ray_d = geometry.rays_from_pixels(
+                jnp.asarray(batch["tar_ixt"][b : b + 1]),
+                jnp.asarray(batch["tar_ext"][b : b + 1]),
+                xy,
+            )
+            z_vals = near * (1.0 - t) + far * t  # (D,)
+            pts = (
+                ray_o[..., None, :]
+                + ray_d[..., None, :] * z_vals[None, None, :, None]
+            )  # (1, N, D, 3)
+            flat = pts.reshape(1, -1, 3)
+
+            # --- trilinear volume sampler slab (rows ordered (h, D, w)) ---
+            uvd = ndc_coords(
+                jnp.asarray(exts[b : b + 1, views[0]]),
+                jnp.asarray(ixts[b : b + 1, views[0]]),
+                flat, inv_scale, near, far, p, (h, w),
+            )
+            vox = uvd * jnp.asarray([wp - 1, hp - 1, D - 1], jnp.float32)
+            c = jnp.swapaxes(vox.reshape(1, H, W, D, 3), 2, 3)
+            vx = c[..., 0].reshape(H * D, W)
+            vy = c[..., 1].reshape(H * D, W)
+            vz = c[..., 2].reshape(H * D, W)
+
+            def vol_miss(wh, wz):
+                return float(tri_window_coverage(
+                    (D, hp, wp, cfg.feat_dim), vx, vy, vz, wh, wz
+                ))
+
+            wh = _min_window(
+                lambda x: vol_miss(x, D), CANDIDATES, vol_h
+            )
+            wz = _min_window(
+                lambda x: vol_miss(max(wh, 8), x), TRI_Z_CANDIDATES, vol_z
+            )
+            # joint refinement: given wz, the minimal feasible wh again
+            wh = _min_window(lambda x: vol_miss(x, wz), CANDIDATES, vol_h)
+            best_h, best_z = max(best_h, wh), max(best_z, wz)
+
+            # --- per-view color sampler y-band (rows ordered (h, D, w)) ---
+            for v in views:
+                sxy, _ = geometry.project_points(
+                    flat, jnp.asarray(exts[b : b + 1, v]),
+                    jnp.asarray(ixts[b : b + 1, v]),
+                )
+                sc = jnp.swapaxes(sxy.reshape(1, H, W, D, 2), 2, 3)
+                sx = sc[..., 0].reshape(H * D, W)
+                sy = sc[..., 1].reshape(H * D, W)
+
+                def img_miss(wh_img):
+                    return float(row_sample_coverage(
+                        (H, W, 3), sx, sy, wh_img, padding_mode="border"
+                    ))
+
+                best_img = max(
+                    best_img, _min_window(img_miss, CANDIDATES, img_h)
+                )
+
+    return dataclasses.replace(
+        cfg,
+        pallas_vol_window_h=min(best_h + margin, hp),
+        pallas_vol_window_z=min(best_z + margin, D),
+        pallas_img_window_h=best_img + margin,
+    )
+
+
 def _true_sample_spans(cams, bounds, H_r, W_r, n_samples, inverse):
     """Projected source coordinates of the render's ACTUAL sample
     positions, per (volume, view): list of (H_r, W_r*Ns, 2).

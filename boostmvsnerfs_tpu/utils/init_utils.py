@@ -39,6 +39,11 @@ def _cpu_init_model(model):
     cas = getattr(model, "cas", None)
     if cas is not None:
         repl = {}
+        # init with every level rendered so the parameter tree is complete
+        # regardless of eval-time render_if (the reference evaluates with
+        # render_if [False, True] but its checkpoints hold both heads)
+        if not all(cas.render_if[: cas.num]):
+            repl["render_if"] = (True,) * len(cas.render_if)
         if getattr(cas, "warp_mode", None) == "pallas":
             repl["warp_mode"] = "windowed"
         if getattr(cas, "eval_sampling", None) == "pallas":

@@ -146,32 +146,38 @@ def flagship_render_costs(H, W, n_views=6, k_best=4, s_cv=3, cas=None):
         k_best * costreg_flops(D1, Hv1, Wv1, 16, deep=True),
         k_best * act1 * (16 + 8 + 8 + 1) * 4.0 * 2,
     )
-    # render level 1 (full res, Ns=2): image sampling + NeRF head
-    Ns1 = cas.num_samples[1]
-    stages["sample1"] = Roofline(
-        img_sample_flops(H, W, Ns1, H, W, 16, cas.pallas_img_window_h[1],
-                         k_best, s_cv,
-                         window_w=cas.pallas_img_window_w[1]),
-        img_sample_bytes(H, W, Ns1, H, W, 16,
-                         cas.pallas_img_window_h[1], k_best, s_cv),
-    )
-    stages["nerf1"] = Roofline(
-        k_best * nerf_head_flops(H * W, Ns1, s_cv, 8 + 3),
-        k_best * H * W * Ns1 * s_cv * (8 + 3 + 4) * 4.0,
-    )
+    # render level 1 (full res, Ns=2): image sampling + NeRF head.
+    # Levels with render_if=False build their volume but never render
+    # (the reference evaluates with render_if [False, True]:
+    # configs/exps/evaluate/enerf/base_eval.yaml) — their sample/NeRF
+    # terms are excluded so the count matches the executed program.
+    if cas.render_if[1]:
+        Ns1 = cas.num_samples[1]
+        stages["sample1"] = Roofline(
+            img_sample_flops(H, W, Ns1, H, W, 16, cas.pallas_img_window_h[1],
+                             k_best, s_cv,
+                             window_w=cas.pallas_img_window_w[1]),
+            img_sample_bytes(H, W, Ns1, H, W, 16,
+                             cas.pallas_img_window_h[1], k_best, s_cv),
+        )
+        stages["nerf1"] = Roofline(
+            k_best * nerf_head_flops(H * W, Ns1, s_cv, 8 + 3),
+            k_best * H * W * Ns1 * s_cv * (8 + 3 + 4) * 4.0,
+        )
     # render level 0 (quarter res, Ns=8) on 32+3-ch features
-    Ns0 = cas.num_samples[0]
-    stages["sample0"] = Roofline(
-        img_sample_flops(H // 4, W // 4, Ns0, H // 4, W // 4, 48,
-                         cas.pallas_img_window_h[0], k_best, s_cv,
-                         window_w=cas.pallas_img_window_w[0]),
-        img_sample_bytes(H // 4, W // 4, Ns0, H // 4, W // 4, 48,
-                         cas.pallas_img_window_h[0], k_best, s_cv),
-    )
-    stages["nerf0"] = Roofline(
-        k_best * nerf_head_flops((H // 4) * (W // 4), Ns0, s_cv, 32 + 3),
-        k_best * (H // 4) * (W // 4) * Ns0 * s_cv * (32 + 3 + 4) * 4.0,
-    )
+    if cas.render_if[0]:
+        Ns0 = cas.num_samples[0]
+        stages["sample0"] = Roofline(
+            img_sample_flops(H // 4, W // 4, Ns0, H // 4, W // 4, 48,
+                             cas.pallas_img_window_h[0], k_best, s_cv,
+                             window_w=cas.pallas_img_window_w[0]),
+            img_sample_bytes(H // 4, W // 4, Ns0, H // 4, W // 4, 48,
+                             cas.pallas_img_window_h[0], k_best, s_cv),
+        )
+        stages["nerf0"] = Roofline(
+            k_best * nerf_head_flops((H // 4) * (W // 4), Ns0, s_cv, 32 + 3),
+            k_best * (H // 4) * (W // 4) * Ns0 * s_cv * (32 + 3 + 4) * 4.0,
+        )
     stages["total"] = Roofline(
         sum(s.flops for s in stages.values()),
         sum(s.bytes for s in stages.values()),

@@ -138,7 +138,9 @@ def main():
     args = parser.parse_args()
 
     from boostmvsnerfs_tpu.config import make_cfg
+    from boostmvsnerfs_tpu.utils.compile_cache import enable_compile_cache
 
+    enable_compile_cache()
     cfg = make_cfg(args.cfg_file, args.opts)
     globals()[f"run_{args.type}"](cfg)
 

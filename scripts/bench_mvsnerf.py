@@ -56,6 +56,15 @@ def main():
     batch = {k: jnp.asarray(v) for k, v in np_batch.items() if k != "meta"}
 
     cfg = MVSNeRFConfig(num_samples=D, k_best=k_best)
+    if os.environ.get("BENCH_AUTOTUNE", "1") == "1":
+        from boostmvsnerfs_tpu.utils.autotune import tune_mvsnerf_windows
+
+        cfg = tune_mvsnerf_windows(np_batch, cfg)
+        print("# tuned windows:",
+              {"vol_h": cfg.pallas_vol_window_h,
+               "vol_z": cfg.pallas_vol_window_z,
+               "img_h": cfg.pallas_img_window_h},
+              file=sys.stderr)
     model = BoostMVSNeRF(cfg=cfg)
     variables = model.init(
         jax.random.PRNGKey(0),

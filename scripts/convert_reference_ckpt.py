@@ -19,7 +19,12 @@ def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("pth")
     ap.add_argument("out_dir")
+    ap.add_argument("--family", choices=("enerf", "mvsnerf"),
+                    default="enerf",
+                    help="checkpoint family: enerf (also enerf_ours) or "
+                         "mvsnerf (also mvsnerf_ours)")
     ap.add_argument("--levels", type=int, default=2)
+    ap.add_argument("--mlp-depth", type=int, default=6)
     ap.add_argument("--no-viewdir-agg", action="store_true")
     args = ap.parse_args()
 
@@ -31,12 +36,16 @@ def main():
     from boostmvsnerfs_tpu.utils.port_weights import (
         load_torch_checkpoint,
         port_enerf,
+        port_mvsnerf,
     )
 
     sd = load_torch_checkpoint(args.pth)
-    variables = port_enerf(
-        sd, num_levels=args.levels, viewdir_agg=not args.no_viewdir_agg
-    )
+    if args.family == "mvsnerf":
+        variables = port_mvsnerf(sd, mlp_depth=args.mlp_depth)
+    else:
+        variables = port_enerf(
+            sd, num_levels=args.levels, viewdir_agg=not args.no_viewdir_agg
+        )
     n_params = sum(
         v.size for v in jax.tree_util.tree_leaves(variables["params"])
     )

@@ -89,6 +89,36 @@ def test_tune_warp_window_returns_candidate(rng):
     assert w in (8, 12, 16, 24, 32, 48, 64, 96, 128)
 
 
+def test_tune_mvsnerf_windows_sound_and_monotone():
+    """The MVSNeRF tuner returns candidate windows whose coverage the
+    kernels' own checkers certify (margin=0 windows are already exact, so
+    the margined defaults can only be larger), for every selected combo."""
+    from boostmvsnerfs_tpu.models.mvsnerf import MVSNeRFConfig
+    from boostmvsnerfs_tpu.utils.autotune import tune_mvsnerf_windows
+    from boostmvsnerfs_tpu.utils.synthetic import make_scene_batch
+
+    cfg = MVSNeRFConfig(pad=8, num_samples=8, k_best=2)
+    np_batch = make_scene_batch(
+        B=1, n_views=4, H=64, W=96, boost=True, k_best=2, seed=0,
+        render_scales=(1.0,),
+    )
+    np_batch["depth_ranges"] = np.tile(
+        np.asarray(np_batch["near_far"], np.float32)[:, None, :], (1, 4, 1)
+    )
+    t0 = tune_mvsnerf_windows(np_batch, cfg, margin=0)
+    t1 = tune_mvsnerf_windows(np_batch, cfg, margin=2)
+    hp = 64 // 4 + 2 * cfg.pad
+    assert 1 <= t0.pallas_vol_window_h <= hp
+    assert 1 <= t0.pallas_vol_window_z <= cfg.num_samples
+    assert t0.pallas_img_window_h >= 1
+    # margin only grows windows (clamped to the volume extents)
+    assert t1.pallas_vol_window_h >= min(t0.pallas_vol_window_h + 2, hp)
+    assert t1.pallas_img_window_h == t0.pallas_img_window_h + 2
+    # other knobs untouched
+    assert t0.num_samples == cfg.num_samples
+    assert t0.pad == cfg.pad
+
+
 def test_calibrated_windows_render_identically():
     """Depth-calibrated sampler windows (tune_cascade_windows_calibrated)
     must not change the render: the tuned model's output equals the

@@ -46,8 +46,42 @@ def test_staged_matches_monolithic_boost():
     model = BoostENeRF(cas=cas)
     variables = model.init(jax.random.PRNGKey(0), batch, False)
     want = model.apply(variables, batch, False)
-    staged = StagedENeRF(model)
-    got = staged(variables, batch)
+    # all three stage granularities: the 6-stage split pipeline, the fused
+    # one-program-per-level pipeline (the eval default), and the whole-
+    # frame program
+    for kw in ({"fuse_levels": False}, {"fuse_levels": True},
+               {"fuse_frame": True}):
+        staged = StagedENeRF(model, **kw)
+        got = staged(variables, batch)
+        for k in want:
+            np.testing.assert_allclose(
+                np.asarray(got[k]), np.asarray(want[k]), rtol=1e-4,
+                atol=1e-5, err_msg=f"{k} {kw}",
+            )
+
+
+def test_staged_fused_eval_render_if():
+    """The fused level pipeline under the evaluation cascade config
+    (render_if [False, True] — reference
+    configs/exps/evaluate/enerf/base_eval.yaml) renders only the fine
+    level and matches the monolithic forward."""
+    import dataclasses
+
+    rng = np.random.default_rng(33)
+    b = make_batch(rng, S=4, full_image=True)
+    b["all_src_inps"] = b["src_inps"]
+    b["all_src_exts"] = b["src_exts"]
+    b["all_src_ixts"] = b["src_ixts"]
+    b["combos"] = view_combinations(4, 3)
+    b["k_best"] = np.array([[0, 2]], dtype=np.int32)
+    batch = {k: jnp.asarray(v) for k, v in b.items()}
+
+    cas = dataclasses.replace(CAS, k_best=2, render_if=(False, True))
+    model = BoostENeRF(cas=cas)
+    variables = model.init(jax.random.PRNGKey(0), batch, False)
+    want = model.apply(variables, batch, False)
+    got = StagedENeRF(model, fuse_levels=True)(variables, batch)
+    assert not any(k.endswith("_level0") for k in got)
     for k in want:
         np.testing.assert_allclose(
             np.asarray(got[k]), np.asarray(want[k]), rtol=1e-4, atol=1e-5,

@@ -22,7 +22,9 @@ def main():
 
     from boostmvsnerfs_tpu.config import make_cfg
     from boostmvsnerfs_tpu.runner import run_train
+    from boostmvsnerfs_tpu.utils.compile_cache import enable_compile_cache
 
+    enable_compile_cache()
     cfg = make_cfg(args.cfg_file, args.opts)
     run_train(cfg)
 
