@@ -148,7 +148,12 @@ def main():
         if os.environ.get("BENCH_MODE", "staged") == "staged":
             from boostmvsnerfs_tpu.parallel.staged import StagedENeRF
 
-            fwds[name] = StagedENeRF(model)
+            fuse = os.environ.get("BENCH_FUSE", "level")
+            fwds[name] = StagedENeRF(
+                model,
+                fuse_levels=fuse == "level",
+                fuse_frame=fuse == "frame",
+            )
         else:
             fwds[name] = jax.jit(
                 lambda v, b, m=model: m.apply(v, b, False)

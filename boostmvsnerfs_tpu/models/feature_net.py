@@ -8,10 +8,40 @@ resolution) with top-down lateral merges producing 32ch@1/4, 16ch@1/2, 8ch@1/1.
 from __future__ import annotations
 
 import flax.linen as nn
+import jax
 import jax.numpy as jnp
 
 from boostmvsnerfs_tpu.models.blocks import ConvBnReLU
 from boostmvsnerfs_tpu.ops.sampling import resize_bilinear
+
+
+class _ConvParams(nn.Module):
+    """Parameter container with nn.Conv's exact variable names/shapes/init
+    (so checkpoints port 1:1 whether the conv is applied directly or with
+    an algebraically composed kernel)."""
+
+    features: int
+    in_features: int
+    kernel_size: tuple = (3, 3)
+
+    @nn.compact
+    def __call__(self):
+        k = self.param(
+            "kernel", nn.initializers.lecun_normal(),
+            (*self.kernel_size, self.in_features, self.features),
+        )
+        b = self.param("bias", nn.initializers.zeros, (self.features,))
+        return k, b
+
+
+def _conv2d_same(x, kernel, dtype=None):
+    if dtype is not None:
+        x = x.astype(dtype)
+        kernel = kernel.astype(dtype)
+    return jax.lax.conv_general_dilated(
+        x, kernel, window_strides=(1, 1), padding="SAME",
+        dimension_numbers=("NHWC", "HWIO", "NHWC"),
+    )
 
 
 class FeatureNet(nn.Module):
@@ -25,6 +55,16 @@ class FeatureNet(nn.Module):
 
         Level naming follows the cascade consumer (reference
         lib/networks/enerf/network.py:62-66): level_0 is the coarsest.
+
+        The full-resolution merge is computed with the 1x1 lateral conv
+        COMPOSED into the 3x3 smooth conv (conv3x3(Ws) after conv1x1(Wl)
+        == one conv3x3 with kernel sum_m Wl[ci,m] Ws[ky,kx,m,co]), so the
+        542MB full-res 32-channel lateral intermediate of the naive form
+        is never materialized. Exact by conv linearity, including at the
+        zero-padded borders: the lateral BIAS contributes through a
+        1-channel ones-image conv whose border rows see fewer in-image
+        taps, exactly as the unfused smooth conv would. Parameter tree is
+        identical to the unfused form (same names/shapes/init).
         """
         bn = self.bn_axis_name
         dt = self.dtype
@@ -37,14 +77,26 @@ class FeatureNet(nn.Module):
 
         feat2 = nn.Conv(32, (1, 1), dtype=dt, name="toplayer")(conv2)  # 1/4
         lat1 = nn.Conv(32, (1, 1), dtype=dt, name="lat1")(conv1)
-        lat0 = nn.Conv(32, (1, 1), dtype=dt, name="lat0")(conv0)
+        k_l0, b_l0 = _ConvParams(32, 8, (1, 1), name="lat0")()
+        k_s0, b_s0 = _ConvParams(8, 32, (3, 3), name="smooth0")()
 
         h1, w1 = conv1.shape[-3], conv1.shape[-2]
         h0, w0 = conv0.shape[-3], conv0.shape[-2]
+        # half-res merge stays materialized: it feeds BOTH smooth1 and the
+        # full-res upsample, so composing lat1 away would save nothing
         feat1 = resize_bilinear(feat2, h1, w1) + lat1
-        feat0 = resize_bilinear(feat1, h0, w0) + lat0
+        up0 = resize_bilinear(feat1, h0, w0)
+        # smooth0(up0 + lat0(conv0)) as three SAME convs summed:
+        composed0 = jnp.einsum("abim,xymo->xyio", k_l0, k_s0)  # (3,3,8,8)
+        bias_k0 = jnp.einsum("m,xymo->xyo", b_l0, k_s0)[..., None, :]
+        ones1 = jnp.ones((*up0.shape[:-1], 1), up0.dtype)
+        feat0 = (
+            _conv2d_same(up0, k_s0, dt)
+            + _conv2d_same(conv0, composed0, dt)
+            + _conv2d_same(ones1, bias_k0, dt)
+            + b_s0
+        )
         feat1 = nn.Conv(16, (3, 3), padding="SAME", dtype=dt, name="smooth1")(feat1)
-        feat0 = nn.Conv(8, (3, 3), padding="SAME", dtype=dt, name="smooth0")(feat0)
         f32 = lambda v: v.astype(jnp.float32)
         return {"level_0": f32(feat2), "level_1": f32(feat1), "level_2": f32(feat0)}
 

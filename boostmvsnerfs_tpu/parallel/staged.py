@@ -63,21 +63,57 @@ class StagedENeRF:
         else:
             rep = cv = cv_rays = None
 
-        feat_jit_kw = {}
         if mesh is not None:
             # the per-view FPN is embarrassingly parallel over the source
-            # views: shard the view axis over ``cv`` (GSPMD pads 6 views
-            # onto 4 groups); the combo fold below re-gathers each view
+            # views: shard the view axis over ``cv``. GSPMD requires the
+            # sharded dim divisible by the axis, so pad the view count up
+            # to a cv multiple inside the program (static shapes) and
+            # slice back; the combo fold below re-gathers each view
             # group's features with one all-gather on ``cv``
             views = NamedSharding(mesh, P(None, "cv"))
-            feat_jit_kw = dict(in_shardings=(rep, views), out_shardings=views)
-        self._features = jax.jit(
-            lambda v, x: m.apply(v, x, False, method=ENeRF.extract_features),
-            **feat_jit_kw,
-        )
+            n_cv = mesh.shape["cv"]
+
+            def features_fn(v, x):
+                V = x.shape[1]
+                pad = (-V) % n_cv
+                if pad:
+                    x = jnp.concatenate([x, x[:, :pad]], axis=1)
+                x = jax.lax.with_sharding_constraint(x, views)
+                out = m.apply(v, x, False, method=ENeRF.extract_features)
+                if pad:
+                    out = {k: f[:, :V] for k, f in out.items()}
+                return out
+
+            self._features = jax.jit(features_fn)
+        else:
+            self._features = jax.jit(
+                lambda v, x: m.apply(v, x, False, method=ENeRF.extract_features)
+            )
+
+        def _pin(tree, sharding):
+            """Constrain every leaf inside the program: unlike jit
+            in_shardings this RESHARDS args whatever committed sharding
+            they arrive with (the eager combo fold of the view-sharded
+            features commits a sharding jit would otherwise reject)."""
+            if sharding is None:
+                return tree
+            return jax.tree_util.tree_map(
+                lambda x: jax.lax.with_sharding_constraint(x, sharding),
+                tree,
+            )
+
+        boost_mesh = mesh is not None and self.boost
 
         def volume_stage(level, v, feats, src_exts, src_ixts, tar_ext,
                          tar_ixt, near_far, prev):
+            if boost_mesh:
+                # everything but the params carries the K-folded batch
+                # axis first — partition it over ``cv``
+                feats, src_exts, src_ixts, tar_ext, tar_ixt, near_far, \
+                    prev = _pin(
+                        (feats, src_exts, src_ixts, tar_ext, tar_ixt,
+                         near_far, prev), cv,
+                    )
             return m.apply(
                 v, level, feats, src_exts, src_ixts, tar_ext, tar_ixt,
                 near_far, prev, False, method=ENeRF.build_level_volume,
@@ -91,14 +127,8 @@ class StagedENeRF:
             )
 
         vol_jit_kw = {}
-        if mesh is not None and self.boost:
-            # (v, feats, src_exts, src_ixts, tar_ext, tar_ixt, near_far,
-            #  prev) — everything but the params carries the K-folded
-            # batch axis first
-            vol_jit_kw = dict(
-                in_shardings=(rep, cv, cv, cv, cv, cv, cv, cv),
-                out_shardings=cv,
-            )
+        if boost_mesh:
+            vol_jit_kw = dict(out_shardings=cv)
         self._volume = {
             i: jax.jit(partial(volume_stage, i), **vol_jit_kw)
             for i in range(self.cas.num)
@@ -122,6 +152,15 @@ class StagedENeRF:
             # the (B*K, N, S, 4) raws never cross a dispatch boundary
             def render_blend_stage(level, K, v, feats, feat_vol, depth, std,
                                    nf_map, batch, ray_idx):
+                if mesh is not None:
+                    # volume tensors stay cv-sharded; the ray ids split
+                    # over (cv, rays) so each device renders its volume
+                    # group's ray tile; the blend's cross-K reduction is
+                    # the only cross-cv collective
+                    feats, feat_vol, depth, std, nf_map, batch = _pin(
+                        (feats, feat_vol, depth, std, nf_map, batch), cv
+                    )
+                    ray_idx = _pin(ray_idx, cv_rays)
                 raw_out = m.apply(
                     v, level, feats, feat_vol, depth, std, nf_map, batch,
                     ray_idx, False, True, method=ENeRF.render_level,
@@ -142,21 +181,9 @@ class StagedENeRF:
                     inv=self.cas.depth_inv[level],
                 )
 
-            rb_jit_kw = {}
-            if mesh is not None:
-                # (v, feats, feat_vol, depth, std, nf_map, batch, ray_idx):
-                # volume tensors arrive cv-sharded; the replicated ray ids
-                # split over (cv, rays) so each device renders its volume
-                # group's ray tile; the blend's cross-K reduction is the
-                # only cross-cv collective and GSPMD lays out its output
-                for_rays = cv_rays
-                rb_jit_kw = dict(
-                    in_shardings=(rep, cv, cv, cv, cv, cv, cv, for_rays),
-                )
             self._render_blend = {
                 i: jax.jit(
                     partial(render_blend_stage, i, self.cas.k_best),
-                    **rb_jit_kw,
                 )
                 for i in range(self.cas.num)
             }
@@ -429,6 +456,30 @@ class StagedMVSNeRF:
             lambda raw, z: render.composite(raw, z, softmax_depth=True)
         )
 
+        # boost hot path: one program per ray block — the K raw renders
+        # and the cross-K blend fuse so the (B*K, N, S, 4) raws never
+        # cross a dispatch boundary (same fusion as StagedENeRF)
+        def render_blend(K, v, sub, vol, ridx, near, far):
+            raw = m.apply(
+                v, sub, vol, ridx, near, far, False, True,
+                method=MVSNeRF.render_volume,
+            )
+            BK = raw["net_output"].shape[0]
+            B = BK // K
+
+            def unfold(a):
+                return a.reshape(B, K, *a.shape[1:])
+
+            return blend(
+                unfold(raw["net_output"]), unfold(raw["mask"]),
+                unfold(raw["z_vals"]),
+            )
+
+        if self.boost:
+            self._render_blend = jax.jit(
+                partial(render_blend, self.cfg.k_best)
+            )
+
     def _ray_blocks(self, ray_idx, W):
         B, N = ray_idx.shape
         rows = N // W if N % W == 0 else 0
@@ -479,15 +530,11 @@ class StagedMVSNeRF:
             W = batch["all_src_inps"].shape[3]
             outs = []
             for ridx in self._ray_blocks(batch["ray_idx_0"], W):
-                raw = self._render[True](
-                    m_vars, sub, volume, rep(ridx), near, far
+                outs.append(
+                    self._render_blend(
+                        m_vars, sub, volume, rep(ridx), near, far
+                    )
                 )
-                raws = raw["net_output"].reshape(
-                    B, K, *raw["net_output"].shape[1:]
-                )
-                masks = raw["mask"].reshape(B, K, *raw["mask"].shape[1:])
-                zs = raw["z_vals"].reshape(B, K, *raw["z_vals"].shape[1:])
-                outs.append(self._blend(raws, masks, zs))
             merged = {
                 k: jnp.concatenate([o[k] for o in outs], axis=1)
                 for k in outs[0]

@@ -98,6 +98,25 @@ def host_sync(tree):
     return tree
 
 
+def frame_sync(out):
+    """Completion sync for ONE forward's outputs at a single-element cost.
+
+    Executables dispatch in order on a device, so one element of the
+    final-level rgb (queued last) completing implies the frame completed;
+    a per-leaf fetch (host_sync) pays ~10 tunnel round-trips per frame on
+    the axon backend — measurement overhead, not render time."""
+    leaf = None
+    for name in ("rgb_level1", "rgb_level0"):
+        if isinstance(out, dict) and name in out:
+            leaf = out[name]
+            break
+    if leaf is None:
+        leaf = jax.tree_util.tree_leaves(out)[-1]
+    jax.block_until_ready(leaf)
+    np.asarray(jax.device_get(leaf.ravel()[0]))
+    return out
+
+
 # ---------------------------------------------------------------------------
 # view selection (offline pass -> view_selection.json)
 # ---------------------------------------------------------------------------
@@ -296,7 +315,7 @@ def run_evaluate(cfg, model=None, variables=None):
 
                 dev_batch = shard_batch(mesh, dev_batch)
             t0 = time.perf_counter()
-            out = host_sync(fwd(variables, dev_batch))
+            out = frame_sync(fwd(variables, dev_batch))
             net_times.append(time.perf_counter() - t0)
             evaluator.evaluate(
                 {k: np.asarray(v) for k, v in out.items()}, np_batch

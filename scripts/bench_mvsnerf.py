@@ -79,14 +79,25 @@ def main():
     fwd = staged
     _sync_all(fwd(variables, batch))  # compile + warm up
 
-    times = []
+    # pipelined throughput (the sustained frames/s of a trajectory render)
+    # + single-frame latency incl. the per-frame tunnel round-trip — same
+    # protocol as the flagship bench.py
+    depth_frames = int(os.environ.get("BENCH_DEPTH", 3))
+    times, lat = [], []
     for _ in range(iters):
         t0 = time.perf_counter()
         _sync_frame(fwd(variables, batch))
-        times.append(time.perf_counter() - t0)
+        lat.append(time.perf_counter() - t0)
+        t0 = time.perf_counter()
+        out = None
+        for _ in range(depth_frames):
+            out = fwd(variables, batch)
+        _sync_frame(out)
+        times.append((time.perf_counter() - t0) / depth_frames)
 
     n_rays = H * W
-    dt = min(times)
+    times.sort()
+    dt = times[len(times) // 2]
     from boostmvsnerfs_tpu.utils.roofline import mvsnerf_speed_of_light
 
     sol = mvsnerf_speed_of_light(H, W, dt, k_best=k_best, D=D)
@@ -97,6 +108,9 @@ def main():
                 "value": round(n_rays / dt, 1),
                 "unit": "rays/s",
                 "fps": round(1.0 / dt, 3),
+                "frame_ms_latency": round(
+                    sorted(lat)[len(lat) // 2] * 1e3, 2
+                ),
                 "height": H,
                 "width": W,
                 "mfu": round(sol["mfu"], 4),

@@ -23,19 +23,20 @@ import jax.numpy as jnp
 import numpy as np
 
 
+def _sync1(out):
+    # fetch ONE element (ravel on device first): device_get of the whole
+    # leaf would drag megabytes through the tunnel and swamp the timing
+    leaf = jax.tree_util.tree_leaves(out)[-1]
+    jax.block_until_ready(leaf)
+    np.asarray(jax.device_get(leaf.ravel()[0]))
+
+
 def _t(fn, *args, iters=3):
-    out = fn(*args)
-    jax.block_until_ready(jax.tree_util.tree_leaves(out)[0])
-    np.asarray(
-        jax.device_get(jax.tree_util.tree_leaves(out)[0]).ravel()[0:1]
-    )
+    _sync1(fn(*args))
     times = []
     for _ in range(iters):
         t0 = time.perf_counter()
-        out = fn(*args)
-        np.asarray(
-            jax.device_get(jax.tree_util.tree_leaves(out)[0]).ravel()[0:1]
-        )
+        _sync1(fn(*args))
         times.append(time.perf_counter() - t0)
     return min(times)
 

@@ -34,15 +34,18 @@ import numpy as np
 
 
 def _t(fn, *args, iters=2):
-    out = fn(*args)
-    np.asarray(jax.device_get(jax.tree_util.tree_leaves(out)[0]).ravel()[0:1])
+    def sync(out):
+        # one-element fetch (ravel on device first — fetching the whole
+        # leaf would drag megabytes through the tunnel into the timing)
+        leaf = jax.tree_util.tree_leaves(out)[0]
+        jax.block_until_ready(leaf)
+        np.asarray(jax.device_get(leaf.ravel()[0]))
+
+    sync(fn(*args))
     times = []
     for _ in range(iters):
         t0 = time.perf_counter()
-        out = fn(*args)
-        np.asarray(
-            jax.device_get(jax.tree_util.tree_leaves(out)[0]).ravel()[0:1]
-        )
+        sync(fn(*args))
         times.append(time.perf_counter() - t0)
     return min(times)
 
