@@ -58,6 +58,13 @@ class MVSNeRFConfig:
     # camera setup with ops.pallas.tri_sample.tri_window_coverage
     pallas_vol_window_h: int = 16
     pallas_vol_window_z: int = 6
+    # depth samples grouped per sampler row: rows ordered (h, d-group)
+    # carry G*W columns instead of W, cutting the kernels' per-row
+    # DMA/loop iterations by G at the cost of a y-window wide enough for
+    # G consecutive samples' projected span (autotuned:
+    # utils/autotune.tune_mvsnerf_windows searches G jointly with the
+    # windows using the kernels' own coverage checkers)
+    pallas_depth_group: int = 1
 
     @staticmethod
     def from_cfg(cfg) -> "MVSNeRFConfig":
@@ -557,23 +564,27 @@ class MVSNeRF(nn.Module):
             # instead of Pallas interpret mode
             and pallas_ops.pallas_supported()
         )
+        G = cfg.pallas_depth_group if D % cfg.pallas_depth_group == 0 else 1
         if use_pallas:
             from boostmvsnerfs_tpu.ops.pallas import pallas_interpret
             from boostmvsnerfs_tpu.ops.pallas.tri_sample import (
                 fused_tri_sample,
             )
 
-            # (h, sample, w)-ordered rows keep each row's (y, z) bands tight
+            # (h, d-group, [g, w])-ordered rows keep each row's (y, z)
+            # bands tight while packing G depth samples per kernel row
+            # (G*W columns -> G-fold fewer per-row DMA/loop iterations)
             c = jnp.swapaxes(vox_xyz.reshape(B, H_rows, W, D, 3), 2, 3)
+            R = H_rows * (D // G)
             ray_feats = fused_tri_sample(
                 volume,
-                c[..., 0].reshape(B, H_rows * D, W),
-                c[..., 1].reshape(B, H_rows * D, W),
-                c[..., 2].reshape(B, H_rows * D, W),
+                c[..., 0].reshape(B, R, G * W),
+                c[..., 1].reshape(B, R, G * W),
+                c[..., 2].reshape(B, R, G * W),
                 window_h=cfg.pallas_vol_window_h,
                 window_z=cfg.pallas_vol_window_z,
                 interpret=pallas_interpret(),
-            )  # (B, H_rows*D, W, 8)
+            )  # (B, R, G*W, 8)
             ray_feats = jnp.swapaxes(
                 ray_feats.reshape(B, H_rows, D, W, -1), 2, 3
             ).reshape(B, N_rays * D, -1)
@@ -607,10 +618,10 @@ class MVSNeRF(nn.Module):
                 )
                 c = xy_v.reshape(B, H_rows, W, D, 2)
                 c = jnp.swapaxes(c, 2, 3)  # (B, H_rows, D, W, 2)
-                xs.append(c[..., 0].reshape(B, H_rows * D, W))
-                ys.append(c[..., 1].reshape(B, H_rows * D, W))
-            x_all = jnp.stack(xs, 1).reshape(B * V, H_rows * D, W)
-            y_all = jnp.stack(ys, 1).reshape(B * V, H_rows * D, W)
+                xs.append(c[..., 0].reshape(B, H_rows * D // G, G * W))
+                ys.append(c[..., 1].reshape(B, H_rows * D // G, G * W))
+            x_all = jnp.stack(xs, 1).reshape(B * V, H_rows * D // G, G * W)
+            y_all = jnp.stack(ys, 1).reshape(B * V, H_rows * D // G, G * W)
             imgs = rgbs.reshape(B * V, H, W, 3)
             col = fused_row_sample(
                 imgs, x_all, y_all,

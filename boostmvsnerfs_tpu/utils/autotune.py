@@ -323,7 +323,9 @@ def tune_mvsnerf_windows(batch: dict, cfg, margin: int = 1):
     vol_h = cfg.pallas_vol_window_h
     vol_z = cfg.pallas_vol_window_z
     img_h = cfg.pallas_img_window_h
-    best_h, best_z, best_img = 1, 1, 1
+    g_candidates = [g for g in (1, 2, 4, 8) if D % g == 0]
+    # per-G maxima over all groups/views: {G: (vol_h, vol_z, img_h)}
+    per_g = {g: [1, 1, 1] for g in g_candidates}
     with jax.default_device(jax.devices("cpu")[0]):
         idx = jnp.arange(H * W, dtype=jnp.int32)[None]
         xy = geometry.flat_idx_to_xy(idx, W)
@@ -346,7 +348,7 @@ def tune_mvsnerf_windows(batch: dict, cfg, margin: int = 1):
             )  # (1, N, D, 3)
             flat = pts.reshape(1, -1, 3)
 
-            # --- trilinear volume sampler slab (rows ordered (h, D, w)) ---
+            # --- trilinear volume sampler slab (rows (h, d-group)) ------
             uvd = ndc_coords(
                 jnp.asarray(exts[b : b + 1, views[0]]),
                 jnp.asarray(ixts[b : b + 1, views[0]]),
@@ -354,49 +356,69 @@ def tune_mvsnerf_windows(batch: dict, cfg, margin: int = 1):
             )
             vox = uvd * jnp.asarray([wp - 1, hp - 1, D - 1], jnp.float32)
             c = jnp.swapaxes(vox.reshape(1, H, W, D, 3), 2, 3)
-            vx = c[..., 0].reshape(H * D, W)
-            vy = c[..., 1].reshape(H * D, W)
-            vz = c[..., 2].reshape(H * D, W)
+            for g in g_candidates:
+                vx = c[..., 0].reshape(H * D // g, g * W)
+                vy = c[..., 1].reshape(H * D // g, g * W)
+                vz = c[..., 2].reshape(H * D // g, g * W)
 
-            def vol_miss(wh, wz):
-                return float(tri_window_coverage(
-                    (D, hp, wp, cfg.feat_dim), vx, vy, vz, wh, wz
-                ))
+                def vol_miss(wh, wz):
+                    return float(tri_window_coverage(
+                        (D, hp, wp, cfg.feat_dim), vx, vy, vz, wh, wz
+                    ))
 
-            wh = _min_window(
-                lambda x: vol_miss(x, D), CANDIDATES, vol_h
-            )
-            wz = _min_window(
-                lambda x: vol_miss(max(wh, 8), x), TRI_Z_CANDIDATES, vol_z
-            )
-            # joint refinement: given wz, the minimal feasible wh again
-            wh = _min_window(lambda x: vol_miss(x, wz), CANDIDATES, vol_h)
-            best_h, best_z = max(best_h, wh), max(best_z, wz)
+                wh = _min_window(lambda x: vol_miss(x, D), CANDIDATES, vol_h)
+                wz = _min_window(
+                    lambda x: vol_miss(max(wh, 8), x), TRI_Z_CANDIDATES,
+                    vol_z,
+                )
+                wh = _min_window(lambda x: vol_miss(x, wz), CANDIDATES,
+                                 vol_h)
+                per_g[g][0] = max(per_g[g][0], wh)
+                per_g[g][1] = max(per_g[g][1], wz)
 
-            # --- per-view color sampler y-band (rows ordered (h, D, w)) ---
+            # --- per-view color sampler y-band ---------------------------
             for v in views:
                 sxy, _ = geometry.project_points(
                     flat, jnp.asarray(exts[b : b + 1, v]),
                     jnp.asarray(ixts[b : b + 1, v]),
                 )
                 sc = jnp.swapaxes(sxy.reshape(1, H, W, D, 2), 2, 3)
-                sx = sc[..., 0].reshape(H * D, W)
-                sy = sc[..., 1].reshape(H * D, W)
+                for g in g_candidates:
+                    sx = sc[..., 0].reshape(H * D // g, g * W)
+                    sy = sc[..., 1].reshape(H * D // g, g * W)
 
-                def img_miss(wh_img):
-                    return float(row_sample_coverage(
-                        (H, W, 3), sx, sy, wh_img, padding_mode="border"
-                    ))
+                    def img_miss(wh_img):
+                        return float(row_sample_coverage(
+                            (H, W, 3), sx, sy, wh_img,
+                            padding_mode="border",
+                        ))
 
-                best_img = max(
-                    best_img, _min_window(img_miss, CANDIDATES, img_h)
-                )
+                    per_g[g][2] = max(
+                        per_g[g][2],
+                        _min_window(img_miss, CANDIDATES, img_h),
+                    )
 
+    best_g, best_cost = 1, float("inf")
+    for g in g_candidates:
+        wh, wz, wi = per_g[g]
+        # per-row cost model: band-DMA issue + the windowed interp
+        # matmuls; R rows of G*W columns — larger G trades fewer row
+        # iterations against taller (costlier) windows
+        R = H * D // g
+        t_pad = -(-(g * W) // 128) * 128
+        issue = 2e-6  # measured-scale per-row DMA/loop overhead
+        flops = 2 * wz * (wh * cfg.feat_dim) * t_pad  # tri interp
+        flops += 2 * (wi * 4) * t_pad * 3              # img interp (V~3)
+        cost = R * (issue + flops / 2e14)
+        if cost < best_cost:
+            best_g, best_cost = g, cost
+    wh, wz, wi = per_g[best_g]
     return dataclasses.replace(
         cfg,
-        pallas_vol_window_h=min(best_h + margin, hp),
-        pallas_vol_window_z=min(best_z + margin, D),
-        pallas_img_window_h=best_img + margin,
+        pallas_vol_window_h=min(wh + margin, hp),
+        pallas_vol_window_z=min(wz + margin, D),
+        pallas_img_window_h=wi + margin,
+        pallas_depth_group=best_g,
     )
 
 

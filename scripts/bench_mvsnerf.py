@@ -63,7 +63,8 @@ def main():
         print("# tuned windows:",
               {"vol_h": cfg.pallas_vol_window_h,
                "vol_z": cfg.pallas_vol_window_z,
-               "img_h": cfg.pallas_img_window_h},
+               "img_h": cfg.pallas_img_window_h,
+               "depth_group": cfg.pallas_depth_group},
               file=sys.stderr)
     model = BoostMVSNeRF(cfg=cfg)
     variables = model.init(

@@ -78,7 +78,8 @@ def main():
         cfg = tune_mvsnerf_windows(np_batch, cfg)
         print(f"# windows: vol_h={cfg.pallas_vol_window_h} "
               f"vol_z={cfg.pallas_vol_window_z} "
-              f"img_h={cfg.pallas_img_window_h}", file=sys.stderr)
+              f"img_h={cfg.pallas_img_window_h} "
+              f"G={cfg.pallas_depth_group}", file=sys.stderr)
     model = BoostMVSNeRF(cfg=cfg)
     variables = model.init(
         jax.random.PRNGKey(0),

@@ -152,3 +152,38 @@ def test_staged_mvsnerf_matches_monolithic(mvs_setup):
             np.asarray(bgot[k]), np.asarray(bwant[k]), rtol=1e-3,
             atol=1e-4, err_msg=k,
         )
+
+
+def test_pallas_grouped_rows_match_gather(monkeypatch):
+    """The fused-sampler eval path with depth-grouped rows
+    (pallas_depth_group > 1: rows carry G*W columns) must reproduce the
+    gather path — interpret-mode kernels on CPU."""
+    import dataclasses
+
+    monkeypatch.setenv("BOOST_PALLAS_FORCE", "1")
+    rng = np.random.default_rng(7)
+    batch = _mvs_batch(rng)
+    full = dict(batch)
+    full["ray_idx_0"] = jnp.arange(H * W, dtype=jnp.int32)[None]
+
+    gather_cfg = dataclasses.replace(CFG, eval_sampling="gather")
+    model = MVSNeRF(cfg=gather_cfg)
+    variables = model.init(jax.random.PRNGKey(0), full, False)
+    want = model.apply(variables, full, False)
+
+    for g in (1, 4):
+        # full-extent windows: the kernels are exact regardless of row
+        # grouping, so this isolates the grouped-row INDEXING (coverage
+        # tuning per G is tune_mvsnerf_windows' job, tested separately)
+        cfg_g = dataclasses.replace(
+            CFG, eval_sampling="pallas", pallas_depth_group=g,
+            pallas_vol_window_h=64 // 4 + 2 * CFG.pad,
+            pallas_vol_window_z=CFG.num_samples,
+            pallas_img_window_h=64,
+        )
+        got = MVSNeRF(cfg=cfg_g).apply(variables, full, False)
+        for k in want:
+            np.testing.assert_allclose(
+                np.asarray(got[k]), np.asarray(want[k]),
+                rtol=2e-2, atol=2e-2, err_msg=f"{k} G={g}",
+            )
