@@ -158,9 +158,13 @@ def main():
             fwds[name] = jax.jit(
                 lambda v, b, m=model: m.apply(v, b, False)
             )
-    # warm-up / compile (full-leaf sync: every executable provably ran)
+    # warm-up / compile (full-leaf sync: every executable provably ran);
+    # with the persistent compilation cache warm this is seconds, not
+    # minutes (utils/compile_cache.py)
+    t0 = time.perf_counter()
     for fwd in fwds.values():
         _sync_all(fwd(variables, batch))
+    warmup_s = time.perf_counter() - t0
 
     # interleave variants within the session so A/B deltas are measured
     # under identical chip/tunnel conditions. Two timings per variant:
@@ -231,6 +235,7 @@ def main():
         },
         # single-frame latency including the per-frame tunnel round-trip
         "frame_ms_latency": round(_median(lat["main"]) * 1e3, 2),
+        "warmup_s": round(warmup_s, 1),
     }
     if "ab" in times:
         dt_ab = _median(times["ab"])

@@ -164,138 +164,13 @@ def make_blocked_train_step(
     statistics, so running-stat updates are taken from the staged
     feature/volume applications and merged by module subtree.
     """
-    import flax.core
-
-    from boostmvsnerfs_tpu.models.boost_enerf import BoostENeRF, _take_views
-    from boostmvsnerfs_tpu.models.enerf import ENeRF
-    from boostmvsnerfs_tpu.ops import render as render_ops
-
-    cas = model.cas
-    boost = isinstance(model, BoostENeRF)
+    blocked_loss = make_blocked_loss(
+        model, ray_blocks, perceptual_fn=perceptual_fn, image_hw=image_hw
+    )
 
     def step_fn(state: TrainState, batch: dict):
         def loss_fn(params):
-            def var():
-                return {"params": params, "batch_stats": state.batch_stats}
-
-            new_stats = dict(state.batch_stats)
-
-            if boost:
-                K = cas.k_best
-                B = batch["all_src_inps"].shape[0]
-                sel = jnp.take(batch["combos"], batch["k_best"], axis=0)
-                I = sel.shape[-1]
-
-                def fold(x):
-                    g = _take_views(x, sel.reshape(B, K * I))
-                    return g.reshape(B * K, I, *x.shape[2:])
-
-                def rep(x):
-                    return jnp.repeat(x, K, axis=0)
-
-                feats_all, mut = model.apply(
-                    var(), batch["all_src_inps"], True,
-                    mutable=["batch_stats"],
-                    method=ENeRF.extract_features,
-                )
-                sub = {
-                    "src_inps": fold(batch["all_src_inps"]),
-                    "src_exts": fold(batch["all_src_exts"]),
-                    "src_ixts": fold(batch["all_src_ixts"]),
-                    "tar_ext": rep(batch["tar_ext"]),
-                    "tar_ixt": rep(batch["tar_ixt"]),
-                    "near_far": rep(batch["near_far"]),
-                }
-                feats = {lvl: fold(f) for lvl, f in feats_all.items()}
-            else:
-                B = batch["src_inps"].shape[0]
-                feats, mut = model.apply(
-                    var(), batch["src_inps"], True,
-                    mutable=["batch_stats"],
-                    method=ENeRF.extract_features,
-                )
-                sub = {
-                    k: batch[k]
-                    for k in (
-                        "src_inps", "src_exts", "src_ixts", "tar_ext",
-                        "tar_ixt", "near_far",
-                    )
-                }
-
-                def rep(x):
-                    return x
-
-            if "feature_net" in mut["batch_stats"]:
-                new_stats["feature_net"] = mut["batch_stats"]["feature_net"]
-
-            out = {}
-            prev = None
-            for i in range(cas.num):
-                (feat_vol, depth, std, nf_map), mut = model.apply(
-                    var(), i, feats, sub["src_exts"], sub["src_ixts"],
-                    sub["tar_ext"], sub["tar_ixt"], sub["near_far"], prev,
-                    True, mutable=["batch_stats"],
-                    method=ENeRF.build_level_volume,
-                )
-                name = f"cost_regs_{i}"
-                if name in mut["batch_stats"]:
-                    new_stats[name] = mut["batch_stats"][name]
-                prev = (depth, std, nf_map)
-                if not cas.render_if[i]:
-                    continue
-
-                ray_idx = batch[f"ray_idx_{i}"]
-                N = ray_idx.shape[1]
-                nb = (
-                    ray_blocks
-                    if ray_blocks > 1 and N % ray_blocks == 0
-                    else 1
-                )
-
-                def body(carry, ridx, i=i, feat_vol=feat_vol, depth=depth,
-                         std=std, nf_map=nf_map):
-                    o = model.apply(
-                        var(), i, feats, feat_vol, depth, std, nf_map,
-                        sub, rep(ridx), True, boost,
-                        method=ENeRF.render_level,
-                    )
-                    if boost:
-                        raws = o["net_output"].reshape(
-                            B, K, *o["net_output"].shape[1:]
-                        )
-                        masks = render_ops.normalize_blend_masks(
-                            o["mask"].reshape(B, K, *o["mask"].shape[1:])
-                        )
-                        z = o["z_vals"].reshape(
-                            B, K, *o["z_vals"].shape[1:]
-                        )
-                        rgb = render_ops.composite_blend(raws, masks, z)[
-                            "rgb"
-                        ]
-                    else:
-                        rgb = o["rgb"]
-                    return carry, rgb
-
-                if nb == 1:
-                    _, rgb = body(0.0, ray_idx)
-                    out[f"rgb_level{i}"] = rgb
-                else:
-                    blocks = jnp.swapaxes(
-                        ray_idx.reshape(ray_idx.shape[0], nb, N // nb),
-                        0, 1,
-                    )  # (nb, B, N/nb)
-                    _, rgbs = jax.lax.scan(
-                        jax.checkpoint(body), 0.0, blocks
-                    )
-                    out[f"rgb_level{i}"] = jnp.moveaxis(
-                        rgbs, 0, 1
-                    ).reshape(B, N, 3)
-
-            loss, stats = enerf_loss(
-                out, batch, cas.loss_weight, cas.num, cas.render_if,
-                perceptual_fn, image_hw, cas.train_img,
-            )
-            return loss, (flax.core.freeze(new_stats), stats)
+            return blocked_loss(params, state.batch_stats, batch)
 
         (loss, (new_stats, stats)), grads = jax.value_and_grad(
             loss_fn, has_aux=True
@@ -310,3 +185,161 @@ def make_blocked_train_step(
         ), stats
 
     return jax.jit(step_fn)
+
+
+def make_blocked_loss(
+    model,
+    ray_blocks: int,
+    perceptual_fn: Callable | None = None,
+    image_hw: tuple | None = None,
+) -> Callable:
+    """The ray-blocked remat loss of :func:`make_blocked_train_step` as a
+    standalone ``loss(params, batch_stats, batch) -> (loss, (stats', s))``
+    (also used by the stage profilers to time the forward and backward of
+    the EXACT training computation in isolation)."""
+    import flax.core
+
+    from boostmvsnerfs_tpu.models.boost_enerf import BoostENeRF, _take_views
+    from boostmvsnerfs_tpu.models.enerf import ENeRF
+    from boostmvsnerfs_tpu.ops import render as render_ops
+
+    cas = model.cas
+    boost = isinstance(model, BoostENeRF)
+
+    def blocked_loss(params, batch_stats, batch):
+        def var():
+            return {"params": params, "batch_stats": batch_stats}
+
+        new_stats = dict(batch_stats)
+
+        if boost:
+            K = cas.k_best
+            B = batch["all_src_inps"].shape[0]
+            sel = jnp.take(batch["combos"], batch["k_best"], axis=0)
+            I = sel.shape[-1]
+
+            def fold(x):
+                g = _take_views(x, sel.reshape(B, K * I))
+                return g.reshape(B * K, I, *x.shape[2:])
+
+            def rep(x):
+                return jnp.repeat(x, K, axis=0)
+
+            feats_all, mut = model.apply(
+                var(), batch["all_src_inps"], True,
+                mutable=["batch_stats"],
+                method=ENeRF.extract_features,
+            )
+            sub = {
+                "src_inps": fold(batch["all_src_inps"]),
+                "src_exts": fold(batch["all_src_exts"]),
+                "src_ixts": fold(batch["all_src_ixts"]),
+                "tar_ext": rep(batch["tar_ext"]),
+                "tar_ixt": rep(batch["tar_ixt"]),
+                "near_far": rep(batch["near_far"]),
+            }
+            feats = {lvl: fold(f) for lvl, f in feats_all.items()}
+        else:
+            B = batch["src_inps"].shape[0]
+            feats, mut = model.apply(
+                var(), batch["src_inps"], True,
+                mutable=["batch_stats"],
+                method=ENeRF.extract_features,
+            )
+            sub = {
+                k: batch[k]
+                for k in (
+                    "src_inps", "src_exts", "src_ixts", "tar_ext",
+                    "tar_ixt", "near_far",
+                )
+            }
+
+            def rep(x):
+                return x
+
+        if "feature_net" in mut["batch_stats"]:
+            new_stats["feature_net"] = mut["batch_stats"]["feature_net"]
+
+        out = {}
+        prev = None
+        for i in range(cas.num):
+            (feat_vol, depth, std, nf_map), mut = model.apply(
+                var(), i, feats, sub["src_exts"], sub["src_ixts"],
+                sub["tar_ext"], sub["tar_ixt"], sub["near_far"], prev,
+                True, mutable=["batch_stats"],
+                method=ENeRF.build_level_volume,
+            )
+            name = f"cost_regs_{i}"
+            if name in mut["batch_stats"]:
+                new_stats[name] = mut["batch_stats"][name]
+            prev = (depth, std, nf_map)
+            if not cas.render_if[i]:
+                continue
+
+            ray_idx = batch[f"ray_idx_{i}"]
+            N = ray_idx.shape[1]
+            # ray_blocks is sized for the FINEST level's ray count;
+            # coarser levels carry far fewer rays (level 0 renders at
+            # 1/16 the pixels), so scale the block count down to keep
+            # per-block work constant — tiny blocks are pure loop/
+            # remat overhead
+            n_max = max(
+                batch[f"ray_idx_{j}"].shape[1]
+                for j in range(cas.num)
+                if cas.render_if[j] and f"ray_idx_{j}" in batch
+            )
+            target = max(1, (ray_blocks * N) // max(n_max, 1))
+            nb = 1
+            if ray_blocks > 1:
+                for d in range(target, 0, -1):
+                    if N % d == 0:
+                        nb = d
+                        break
+
+            def body(carry, ridx, i=i, feat_vol=feat_vol, depth=depth,
+                     std=std, nf_map=nf_map):
+                o = model.apply(
+                    var(), i, feats, feat_vol, depth, std, nf_map,
+                    sub, rep(ridx), True, boost,
+                    method=ENeRF.render_level,
+                )
+                if boost:
+                    raws = o["net_output"].reshape(
+                        B, K, *o["net_output"].shape[1:]
+                    )
+                    masks = render_ops.normalize_blend_masks(
+                        o["mask"].reshape(B, K, *o["mask"].shape[1:])
+                    )
+                    z = o["z_vals"].reshape(
+                        B, K, *o["z_vals"].shape[1:]
+                    )
+                    rgb = render_ops.composite_blend(raws, masks, z)[
+                        "rgb"
+                    ]
+                else:
+                    rgb = o["rgb"]
+                return carry, rgb
+
+            if nb == 1:
+                _, rgb = body(0.0, ray_idx)
+                out[f"rgb_level{i}"] = rgb
+            else:
+                blocks = jnp.swapaxes(
+                    ray_idx.reshape(ray_idx.shape[0], nb, N // nb),
+                    0, 1,
+                )  # (nb, B, N/nb)
+                _, rgbs = jax.lax.scan(
+                    jax.checkpoint(body), 0.0, blocks
+                )
+                out[f"rgb_level{i}"] = jnp.moveaxis(
+                    rgbs, 0, 1
+                ).reshape(B, N, 3)
+
+        loss, stats = enerf_loss(
+            out, batch, cas.loss_weight, cas.num, cas.render_if,
+            perceptual_fn, image_hw, cas.train_img,
+        )
+        return loss, (flax.core.freeze(new_stats), stats)
+
+    return blocked_loss
+

@@ -58,6 +58,8 @@ def main():
     ap.add_argument("--ray-blocks", type=int, default=16)
     ap.add_argument("--full", action="store_true",
                     help="also run the whole blocked train step")
+    ap.add_argument("--skip-stages", action="store_true",
+                    help="only the full step (for ray-block sweeps)")
     args = ap.parse_args()
 
     from boostmvsnerfs_tpu.models.boost_enerf import BoostENeRF, _take_views
@@ -100,100 +102,114 @@ def main():
         "near_far": rep(batch["near_far"]),
     }
 
-    # ---- features fwd+bwd -------------------------------------------------
-    @jax.jit
-    def feat_grad(p):
-        def f(p):
-            out, _ = model.apply(
-                {"params": p, "batch_stats": bstats},
-                batch["all_src_inps"], True, mutable=["batch_stats"],
-                method=ENeRF.extract_features,
-            )
-            return sum(jnp.sum(v) for v in out.values())
+    if not args.skip_stages:
+        # ---- features fwd+bwd -------------------------------------------------
+        @jax.jit
+        def feat_grad(p):
+            def f(p):
+                out, _ = model.apply(
+                    {"params": p, "batch_stats": bstats},
+                    batch["all_src_inps"], True, mutable=["batch_stats"],
+                    method=ENeRF.extract_features,
+                )
+                return sum(jnp.sum(v) for v in out.values())
 
-        return jax.value_and_grad(f)(p)[0]
-
-    print(json.dumps({"stage": "features_fwd_bwd",
-                      "seconds": round(_t(feat_grad, params,
-                                          iters=args.iters), 3)}))
-
-    # ---- per-level volume fwd+bwd ----------------------------------------
-    @jax.jit
-    def feats_only(p):
-        out, _ = model.apply(
-            {"params": p, "batch_stats": bstats}, batch["all_src_inps"],
-            True, mutable=["batch_stats"], method=ENeRF.extract_features,
-        )
-        return out
-
-    feats = {lvl: fold(f) for lvl, f in feats_only(params).items()}
-    prev = None
-    vols = {}
-    for i in range(cas.num):
-        def vol_grad_fn(p, fe, prev=prev, i=i):
-            (fv, depth, std, nf), _ = model.apply(
-                {"params": p, "batch_stats": bstats}, i, fe,
-                sub["src_exts"], sub["src_ixts"], sub["tar_ext"],
-                sub["tar_ixt"], sub["near_far"], prev, True,
-                mutable=["batch_stats"], method=ENeRF.build_level_volume,
-            )
-            return jnp.sum(depth) + jnp.sum(fv) + jnp.sum(std), (
-                fv, depth, std, nf,
+            v, g = jax.value_and_grad(f)(p)
+            # keep the backward alive (a discarded grad tree is DCE'd,
+            # silently measuring the forward only)
+            return v + jax.tree_util.tree_reduce(
+                lambda a, x: a + jnp.sum(x), g, 0.0
             )
 
-        vol_grad = jax.jit(
-            lambda p, fe, i=i, prev=prev: jax.value_and_grad(
-                lambda p2, f2: vol_grad_fn(p2, f2, prev, i)[0],
-                argnums=(0, 1),
-            )(p, fe)[0]
-        )
-        print(json.dumps({"stage": f"volume{i}_fwd_bwd",
-                          "seconds": round(_t(vol_grad, params, feats,
+        print(json.dumps({"stage": "features_fwd_bwd",
+                          "seconds": round(_t(feat_grad, params,
                                               iters=args.iters), 3)}))
-        vols[i] = jax.jit(
-            lambda p, fe, i=i, prev=prev: vol_grad_fn(p, fe, prev, i)[1]
-        )(params, feats)
-        prev = vols[i][1:]
 
-    # ---- one render+blend ray block fwd+bwd ------------------------------
-    for i in range(cas.num):
-        if not cas.render_if[i]:
-            continue
-        fv, depth, std, nf = vols[i]
-        ray_idx = batch[f"ray_idx_{i}"]
-        N = ray_idx.shape[1]
-        nb = args.ray_blocks if N % args.ray_blocks == 0 else 1
-        ridx = rep(ray_idx[:, : N // nb])
-
-        def rb_fn(p, fe, fv, depth, std, i=i, nf=nf, ridx=ridx):
-            o = model.apply(
-                {"params": p, "batch_stats": bstats}, i, fe, fv, depth,
-                std, nf, sub, ridx, True, True,
-                method=ENeRF.render_level,
+        # ---- per-level volume fwd+bwd ----------------------------------------
+        @jax.jit
+        def feats_only(p):
+            out, _ = model.apply(
+                {"params": p, "batch_stats": bstats}, batch["all_src_inps"],
+                True, mutable=["batch_stats"], method=ENeRF.extract_features,
             )
-            raws = o["net_output"].reshape(B, K, *o["net_output"].shape[1:])
-            masks = render_ops.normalize_blend_masks(
-                o["mask"].reshape(B, K, *o["mask"].shape[1:])
-            )
-            z = o["z_vals"].reshape(B, K, *o["z_vals"].shape[1:])
-            return jnp.sum(
-                render_ops.composite_blend(raws, masks, z)["rgb"] ** 2
-            )
+            return out
 
-        rb_grad = jax.jit(
-            lambda p, fe, fv, d, s, i=i: jax.value_and_grad(
-                rb_fn, argnums=(0, 1, 2, 3, 4)
-            )(p, fe, fv, d, s)[0]
-        )
-        dt = _t(rb_grad, params, feats, fv, depth, std, iters=args.iters)
-        print(json.dumps({
-            "stage": f"render{i}_block_fwd_bwd",
-            "seconds": round(dt, 3),
-            "blocks_per_step": nb,
-            "est_step_seconds": round(dt * nb, 2),
-        }))
+        feats = {lvl: fold(f) for lvl, f in feats_only(params).items()}
+        prev = None
+        vols = {}
+        for i in range(cas.num):
+            def vol_grad_fn(p, fe, prev=prev, i=i):
+                (fv, depth, std, nf), _ = model.apply(
+                    {"params": p, "batch_stats": bstats}, i, fe,
+                    sub["src_exts"], sub["src_ixts"], sub["tar_ext"],
+                    sub["tar_ixt"], sub["near_far"], prev, True,
+                    mutable=["batch_stats"], method=ENeRF.build_level_volume,
+                )
+                return jnp.sum(depth) + jnp.sum(fv) + jnp.sum(std), (
+                    fv, depth, std, nf,
+                )
 
-    # ---- whole blocked step ----------------------------------------------
+            def _vol_probe(p, fe, i=i, prev=prev):
+                v, g = jax.value_and_grad(
+                    lambda p2, f2: vol_grad_fn(p2, f2, prev, i)[0],
+                    argnums=(0, 1),
+                )(p, fe)
+                return v + jax.tree_util.tree_reduce(
+                    lambda a, x: a + jnp.sum(x), g, 0.0
+                )
+
+            vol_grad = jax.jit(_vol_probe)
+            print(json.dumps({"stage": f"volume{i}_fwd_bwd",
+                              "seconds": round(_t(vol_grad, params, feats,
+                                                  iters=args.iters), 3)}))
+            vols[i] = jax.jit(
+                lambda p, fe, i=i, prev=prev: vol_grad_fn(p, fe, prev, i)[1]
+            )(params, feats)
+            prev = vols[i][1:]
+
+        # ---- one render+blend ray block fwd+bwd ------------------------------
+        for i in range(cas.num):
+            if not cas.render_if[i]:
+                continue
+            fv, depth, std, nf = vols[i]
+            ray_idx = batch[f"ray_idx_{i}"]
+            N = ray_idx.shape[1]
+            nb = args.ray_blocks if N % args.ray_blocks == 0 else 1
+            ridx = rep(ray_idx[:, : N // nb])
+
+            def rb_fn(p, fe, fv, depth, std, i=i, nf=nf, ridx=ridx):
+                o = model.apply(
+                    {"params": p, "batch_stats": bstats}, i, fe, fv, depth,
+                    std, nf, sub, ridx, True, True,
+                    method=ENeRF.render_level,
+                )
+                raws = o["net_output"].reshape(B, K, *o["net_output"].shape[1:])
+                masks = render_ops.normalize_blend_masks(
+                    o["mask"].reshape(B, K, *o["mask"].shape[1:])
+                )
+                z = o["z_vals"].reshape(B, K, *o["z_vals"].shape[1:])
+                return jnp.sum(
+                    render_ops.composite_blend(raws, masks, z)["rgb"] ** 2
+                )
+
+            def _rb_probe(p, fe, fv, d, s, i=i):
+                v, g = jax.value_and_grad(
+                    rb_fn, argnums=(0, 1, 2, 3, 4)
+                )(p, fe, fv, d, s)
+                return v + jax.tree_util.tree_reduce(
+                    lambda a, x: a + jnp.sum(x), g, 0.0
+                )
+
+            rb_grad = jax.jit(_rb_probe)
+            dt = _t(rb_grad, params, feats, fv, depth, std, iters=args.iters)
+            print(json.dumps({
+                "stage": f"render{i}_block_fwd_bwd",
+                "seconds": round(dt, 3),
+                "blocks_per_step": nb,
+                "est_step_seconds": round(dt * nb, 2),
+            }))
+
+        # ---- whole blocked step ----------------------------------------------
     if args.full:
         from boostmvsnerfs_tpu.parallel.train import (
             create_train_state,
