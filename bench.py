@@ -174,7 +174,7 @@ def main():
     # back-to-back, one sync — the frames/second the executor actually
     # sustains rendering a trajectory, the workload the fps claim is
     # about).
-    depth = int(os.environ.get("BENCH_DEPTH", 4))
+    depth = int(os.environ.get("BENCH_DEPTH", 6))
     times = {name: [] for name in fwds}
     lat = {name: [] for name in fwds}
     for _ in range(iters):

@@ -314,6 +314,13 @@ def run_evaluate(cfg, model=None, variables=None):
                 from boostmvsnerfs_tpu.parallel.mesh import shard_batch
 
                 dev_batch = shard_batch(mesh, dev_batch)
+            # land the batch on device BEFORE the network timer: the
+            # reference's FPS likewise times the net forward after data
+            # loading (reference run.py:112-129) — on the axon tunnel the
+            # ~25MB image upload would otherwise dominate the timing
+            dev_batch = {
+                k: jax.block_until_ready(v) for k, v in dev_batch.items()
+            }
             t0 = time.perf_counter()
             out = frame_sync(fwd(variables, dev_batch))
             net_times.append(time.perf_counter() - t0)
