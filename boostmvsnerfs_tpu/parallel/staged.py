@@ -38,7 +38,7 @@ class StagedENeRF:
     constraints (SURVEY.md §2.3 TPU mapping (b))."""
 
     def __init__(self, model: ENeRF, mesh=None, fuse_levels: bool | None = None,
-                 fuse_frame: bool = False):
+                 fuse_frame: bool = False, fold_inside: bool = True):
         self.model = model
         self.cas = model.cas
         self.boost = isinstance(model, BoostENeRF)
@@ -228,6 +228,51 @@ class StagedENeRF:
                     for i in range(self.cas.num)
                 }
 
+                # fold-inside variant for the no-mesh hot path: the combo
+                # gather/fold/repeat glue runs INSIDE each level program.
+                # Eagerly it emits ~10 tiny executables per frame whose
+                # per-launch gaps on the remote-tunnel backend cost more
+                # than the (sub-ms) on-device gathers they contain.
+                def level_stage_folded(level, K, render, v, feats_all,
+                                       fb, prev):
+                    sel = jnp.take(fb["combos"], fb["k_best"], axis=0)
+                    B = fb["all_src_inps"].shape[0]
+                    I = sel.shape[-1]
+
+                    def fold(x):
+                        g = _take_views(x, sel.reshape(B, K * I))
+                        return g.reshape(B * K, I, *x.shape[2:])
+
+                    def rep(x):
+                        return jnp.repeat(x, K, axis=0)
+
+                    feats = {
+                        lvl: fold(f) for lvl, f in feats_all.items()
+                    }
+                    rb = {
+                        "src_inps": fold(fb["all_src_inps"]),
+                        "src_exts": fold(fb["all_src_exts"]),
+                        "src_ixts": fold(fb["all_src_ixts"]),
+                        "tar_ext": rep(fb["tar_ext"]),
+                        "tar_ixt": rep(fb["tar_ixt"]),
+                    }
+                    last = self.cas.num - 1
+                    ridx = rep(fb.get(f"ray_idx_{level}",
+                                      fb[f"ray_idx_{last}"]))
+                    return level_stage(
+                        level, K, render, v, feats, rb["src_exts"],
+                        rb["src_ixts"], rb["tar_ext"], rb["tar_ixt"],
+                        rep(fb["near_far"]), prev, rb, ridx,
+                    )
+
+                self._level_folded = {
+                    i: jax.jit(partial(
+                        level_stage_folded, i, self.cas.k_best,
+                        bool(self.cas.render_if[i]),
+                    ))
+                    for i in range(self.cas.num)
+                }
+
             if fuse_frame:
                 # everything after the feature net in ONE program: the
                 # XLA scheduler sees the whole cascade, so inter-level
@@ -250,6 +295,7 @@ class StagedENeRF:
 
                 self._frame = jax.jit(frame_stage)
         self.fuse_frame = fuse_frame and self.boost
+        self.fold_inside = fold_inside
 
     @staticmethod
     def _mask_composite_fn(mask, n_samples: int):
@@ -331,6 +377,36 @@ class StagedENeRF:
     def _forward_boost(self, variables, batch):
         cas = self.cas
         K = cas.k_best
+
+        if (
+            self.fold_inside
+            and self.fuse_levels
+            and not self.fuse_frame
+            and self.mesh is None
+        ):
+            # hot path: features + one fold-inside program per level —
+            # zero eager glue executables between dispatches
+            feats_all = self._features(variables, batch["all_src_inps"])
+            keys = [
+                "all_src_inps", "all_src_exts", "all_src_ixts", "tar_ext",
+                "tar_ixt", "near_far", "combos", "k_best",
+            ] + [
+                f"ray_idx_{i}" for i in range(cas.num)
+                if f"ray_idx_{i}" in batch
+            ]
+            fb = {k: batch[k] for k in keys}
+            prev = None
+            ret = {}
+            for i in range(cas.num):
+                prev, out = self._level_folded[i](
+                    variables, feats_all, fb, prev
+                )
+                if out is not None:
+                    ret.update(
+                        {f"{k}_level{i}": v for k, v in out.items()}
+                    )
+            return ret
+
         B = batch["all_src_inps"].shape[0]
         sel = jnp.take(batch["combos"], batch["k_best"], axis=0)
         I = sel.shape[-1]
