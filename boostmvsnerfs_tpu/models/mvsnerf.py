@@ -155,10 +155,16 @@ class MVSCostRegNet(nn.Module):
 
 def positional_encoding(x: jnp.ndarray, n_freqs: int) -> jnp.ndarray:
     """[x, sin(2^k x), cos(2^k x)] for k in 0..n_freqs-1 (reference
-    network.py:24-75, include_input=True, log sampling)."""
+    network.py:24-75, include_input=True, log sampling).
+
+    Computed without any small-trailing-dim intermediate: the naive
+    ``(..., F, d)`` broadcast tiles d=3 onto the 128-lane axis (125/128
+    wasted per tile on TPU). Tiling x to width F*d and multiplying by the
+    d-repeated frequency vector yields the identical f-major/d-minor
+    element order in one wide elementwise op."""
     freqs = 2.0 ** jnp.arange(n_freqs, dtype=jnp.float32)
-    xs = x[..., None, :] * freqs[:, None]  # (..., F, d)
-    xs = xs.reshape(*x.shape[:-1], -1)
+    d = x.shape[-1]
+    xs = jnp.tile(x, (1,) * (x.ndim - 1) + (n_freqs,)) * jnp.repeat(freqs, d)
     return jnp.concatenate([x, jnp.sin(xs), jnp.cos(xs)], axis=-1)
 
 
