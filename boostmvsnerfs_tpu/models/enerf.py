@@ -366,6 +366,7 @@ class ENeRF(nn.Module):
         train: bool,
         return_raw: bool = False,
         tar_hw: tuple | None = None,
+        rows_block: int = 0,
     ) -> dict:
         """Depth-guided rendering of the rays at ``ray_idx``.
 
@@ -375,6 +376,16 @@ class ENeRF(nn.Module):
         boost fused render (reference lib/networks/boost_enerf/network.py:123-149).
         ``tar_hw`` overrides the target raster size (virtual-crop cameras of
         the composite variant; see build_level_volume).
+
+        ``rows_block > 0`` asserts (caller contract — the blocked
+        full-image train step, parallel/train.make_blocked_loss) that
+        ``ray_idx`` is a CONTIGUOUS block of ``rows_block`` whole raster
+        rows in row-major order, identical across the batch. The block then
+        takes the structured (row-band) sampling path whose backward is
+        scatter-free — without it, each block's N != H_r*W_r forces the
+        gather path, and every gather's backward scatter-adds into the
+        full-resolution feature maps / cost volume (measured 3.8 s of a
+        6.9 s step at 480x736, PROFILE_r05.md train section).
         """
         cas = self.cas
         B, S, H, W, _ = batch["src_inps"].shape
@@ -386,7 +397,13 @@ class ENeRF(nn.Module):
         Hv, Wv = feat_vol.shape[2], feat_vol.shape[3]
 
         N = ray_idx.shape[1]
-        structured = (
+        row_blocked = (
+            rows_block > 0
+            and N == rows_block * W_r
+            and N != H_r * W_r
+            and cas.eval_sampling in ("structured", "pallas")
+        )
+        structured = row_blocked or (
             cas.eval_sampling in ("structured", "pallas")
             and N == H_r * W_r
             # under training only when this level trains on full images —
@@ -394,9 +411,17 @@ class ENeRF(nn.Module):
             # (data/base.py); random-ray training keeps the gather path
             and (not train or cas.train_img[level])
         )
+        H_blk = rows_block if row_blocked else H_r
+        row0 = ray_idx[0, 0] // W_r if row_blocked else None
 
         bounds_map = render.ray_bounds_maps(depth, std, nf_map, H_r, W_r, inv)
-        if structured:
+        if row_blocked:
+            # whole-row block: a dynamic row slice (backward = pad, not
+            # scatter) replaces the per-ray gather
+            bounds = jax.lax.dynamic_slice_in_dim(
+                bounds_map.reshape(B, H_r, W_r, 4), row0, rows_block, 1
+            ).reshape(B, N, 4)
+        elif structured:
             # full-raster rays are raster-ordered by construction: the
             # per-ray gather is an identity
             bounds = bounds_map.reshape(B, N, 4)
@@ -422,6 +447,7 @@ class ENeRF(nn.Module):
         # pads a trailing C < 128 up to 16x)
         use_fused_head = (
             structured
+            and not row_blocked
             and not train
             and cas.eval_sampling == "pallas"
             and cas.eval_head == "pallas"
@@ -441,9 +467,14 @@ class ENeRF(nn.Module):
             vox_feat = None
         elif structured:
             # full-raster rays: trilinear factorizes into separable plane
-            # resize + z-lerp (exact; see ops/sampling.plane_resample_z)
-            z = d.reshape(B, H_r, W_r, Ns)
-            vox_feat = jax.vmap(sampling.plane_resample_z)(feat_vol, z)
+            # resize + z-lerp (exact; see ops/sampling.plane_resample_z) —
+            # a row block slices the full-frame y-interp weights instead
+            z = d.reshape(B, H_blk, W_r, Ns)
+            vox_feat = jax.vmap(
+                lambda vol, zz: sampling.plane_resample_z(
+                    vol, zz, H_r if row_blocked else None, row0
+                )
+            )(feat_vol, z)
             vox_feat = vox_feat.reshape(B, N, Ns, -1)
         else:
             u = uvd[..., 0] / (W_r - 1) * (Wv - 1)
@@ -466,7 +497,7 @@ class ENeRF(nn.Module):
         gathered = self._gather_view_features(
             world_xyz, img_feat_rgb, batch, cas.render_scale[level],
             window_h=cas.img_window_h[level] if structured else None,
-            raster_hw=(H_r, W_r) if structured else None,
+            raster_hw=(H_blk, W_r) if structured else None,
             cols_per_tile=cas.img_cols_per_tile[level],
             window_w=cas.img_window_w[level],
             pallas_window_h=cas.pallas_img_window_h[level],

@@ -369,6 +369,8 @@ def tap_miss_fraction(x, y, x0, y0, window_h, window_w, H, W):
 def plane_resample_z(
     vol: jnp.ndarray,  # (D, Hv, Wv, C)
     z: jnp.ndarray,  # (H_out, W_out, S) per-pixel z coords in [0, D-1]
+    full_h: int | None = None,  # raster height when z is a row block of it
+    row0: jnp.ndarray | None = None,  # first raster row of the block
 ) -> jnp.ndarray:
     """Trilinear volume lookup for a full-raster sample grid, gather-free.
 
@@ -378,10 +380,26 @@ def plane_resample_z(
     z-plane (two MXU matmuls) followed by a per-pixel lerp along z.
     Replaces the 3D grid_sample of reference lib/networks/enerf/utils.py:458-460.
     Returns (H_out, W_out, S, C).
+
+    With ``full_h``/``row0``, ``z`` covers only the raster rows
+    ``[row0, row0 + H_out)`` of a ``full_h``-row frame: the y-interp matrix
+    of the FULL-frame align-corners resize is row-sliced (a dynamic slice —
+    exact, and its backward is a pad, not a scatter), so a blocked
+    full-image train step (parallel/train.make_blocked_loss) computes only
+    its block's rows while matching the full-frame resample bit for bit.
     """
     D, Hv, Wv, C = vol.shape
     H_out, W_out, S = z.shape
-    planes = resize_bilinear(vol, H_out, W_out)  # (D, H_out, W_out, C)
+    if full_h is not None and (full_h != H_out or row0 is not None):
+        my = _interp_matrix(full_h, Hv, vol.dtype)  # full-frame y weights
+        my = jax.lax.dynamic_slice_in_dim(
+            my, jnp.asarray(row0, jnp.int32), H_out, 0
+        )
+        mx = _interp_matrix(W_out, Wv, vol.dtype)
+        planes = jnp.einsum("oh,dhwc->dowc", my, vol)
+        planes = jnp.einsum("ow,dhwc->dhoc", mx, planes)
+    else:
+        planes = resize_bilinear(vol, H_out, W_out)  # (D, H_out, W_out, C)
     # floor-based lerp weights over the (small) z axis: plane d receives
     # (1-frac) as the floor tap and frac as the ceil tap; out-of-range z
     # contributes zeros (= zeros padding). Forward-equal to triangle weights

@@ -289,19 +289,35 @@ def make_blocked_loss(
                 if cas.render_if[j] and f"ray_idx_{j}" in batch
             )
             target = max(1, (ray_blocks * N) // max(n_max, 1))
+            # full-image levels (train_img — ray_idx is the raster arange,
+            # data/base.py) split into WHOLE-ROW blocks: nb must divide the
+            # row count so every block is a contiguous row range and
+            # render_level's rows_block path keeps the structured
+            # (scatter-free-backward) samplers. Random-ray levels split on
+            # any divisor of N and keep the gather path.
+            Hs, Ws = sub["src_inps"].shape[2], sub["src_inps"].shape[3]
+            H_ri = int(Hs * cas.render_scale[i])
+            W_ri = int(Ws * cas.render_scale[i])
+            full_raster = (
+                N == H_ri * W_ri
+                and cas.train_img[i]
+                and cas.eval_sampling in ("structured", "pallas")
+            )
             nb = 1
             if ray_blocks > 1:
                 for d in range(target, 0, -1):
-                    if N % d == 0:
+                    if (H_ri % d == 0) if full_raster else (N % d == 0):
                         nb = d
                         break
+            rows_block = H_ri // nb if (full_raster and nb > 1) else 0
 
             def body(carry, ridx, i=i, feat_vol=feat_vol, depth=depth,
-                     std=std, nf_map=nf_map):
+                     std=std, nf_map=nf_map, rows_block=rows_block):
                 o = model.apply(
                     var(), i, feats, feat_vol, depth, std, nf_map,
                     sub, rep(ridx), True, boost,
                     method=ENeRF.render_level,
+                    rows_block=rows_block,
                 )
                 if boost:
                     raws = o["net_output"].reshape(
