@@ -184,10 +184,15 @@ class RendererMLP(nn.Module):
     additive_bias: bool = False
 
     @nn.compact
-    def __call__(self, pts_enc, feat, viewdirs, use_pallas: bool = False):
+    def __call__(self, pts_enc, feat, viewdirs, use_pallas: bool = False,
+                 encode_in_kernel: int = 0):
         W = self.cfg.mlp_width
         if use_pallas and self.additive_bias:
             use_pallas = False  # fused kernel implements the v0 trunk only
+        if encode_in_kernel and not use_pallas:
+            # caller shipped raw coords for in-kernel encoding but this
+            # trunk runs under XLA: encode here instead
+            pts_enc = positional_encoding(pts_enc, encode_in_kernel)
         if use_pallas:
             from boostmvsnerfs_tpu.ops.pallas import pallas_interpret
             from boostmvsnerfs_tpu.ops.pallas.mlp import (
@@ -196,7 +201,12 @@ class RendererMLP(nn.Module):
             )
 
             depth = self.cfg.mlp_depth
-            P, F = pts_enc.shape[-1], feat.shape[-1]
+            P = (
+                pts_enc.shape[-1] * (1 + 2 * encode_in_kernel)
+                if encode_in_kernel
+                else pts_enc.shape[-1]
+            )
+            F = feat.shape[-1]
             dims = {"pts_bias": (F, W)}
             in_d = P
             for i in range(depth):
@@ -225,6 +235,7 @@ class RendererMLP(nn.Module):
                 params, pts_enc, feat, viewdirs,
                 depth=depth, skips=tuple(self.cfg.skips),
                 interpret=pallas_interpret(),
+                encode_freqs=encode_in_kernel,
             )
         h = pts_enc
         bias = nn.Dense(W, kernel_init=kaiming, name="pts_bias")(feat)
@@ -286,8 +297,11 @@ class RendererAttention(nn.Module):
     cfg: MVSNeRFConfig
 
     @nn.compact
-    def __call__(self, pts_enc, feat, viewdirs, use_pallas: bool = False):
+    def __call__(self, pts_enc, feat, viewdirs, use_pallas: bool = False,
+                 encode_in_kernel: int = 0):
         del use_pallas  # fused-MLP kernel covers the v0 trunk only
+        if encode_in_kernel:
+            pts_enc = positional_encoding(pts_enc, encode_in_kernel)
         W = self.cfg.mlp_width
         B, N = feat.shape[0], feat.shape[1]
         feats8 = feat[..., :8]
@@ -334,8 +348,11 @@ class RendererColorFusion(nn.Module):
     cfg: MVSNeRFConfig
 
     @nn.compact
-    def __call__(self, pts_enc, feat, viewdirs, use_pallas: bool = False):
+    def __call__(self, pts_enc, feat, viewdirs, use_pallas: bool = False,
+                 encode_in_kernel: int = 0):
         del use_pallas
+        if encode_in_kernel:
+            pts_enc = positional_encoding(pts_enc, encode_in_kernel)
         W = self.cfg.mlp_width
         B, N = feat.shape[0], feat.shape[1]
         feats8 = feat[..., :8]
@@ -534,26 +551,6 @@ class MVSNeRF(nn.Module):
         ray_o, ray_d = geometry.rays_from_pixels(
             batch["tar_ixt"], batch["tar_ext"], xy
         )
-        t = jnp.linspace(0.0, 1.0, D)
-        z_vals = near[..., None, None] * (1.0 - t) + far[..., None, None] * t
-        z_vals = jnp.broadcast_to(z_vals, (B, xy.shape[1], D))
-        world_xyz = ray_o[..., None, :] + ray_d[..., None, :] * z_vals[..., None]
-
-        inv_scale = jnp.asarray([W - 1, H - 1], jnp.float32)
-        uvd = ndc_coords(
-            batch["src_exts"][:, 0],
-            batch["src_ixts"][:, 0],
-            world_xyz.reshape(B, -1, 3),
-            inv_scale,
-            near.reshape(B, 1, 1),
-            far.reshape(B, 1, 1),
-            cfg.pad,
-            (h, w),
-        )  # (B, N*D, 3) in [0,1]
-
-        # trilinear volume features (align-corners over padded volume)
-        Dp, hp, wp = volume.shape[1:4]
-        vox_xyz = uvd * jnp.asarray([wp - 1, hp - 1, Dp - 1], jnp.float32)
         N_rays = ray_idx.shape[1]
         from boostmvsnerfs_tpu.ops import pallas as pallas_ops
 
@@ -571,6 +568,45 @@ class MVSNeRF(nn.Module):
             and pallas_ops.pallas_supported()
         )
         G = cfg.pallas_depth_group if D % cfg.pallas_depth_group == 0 else 1
+
+        t = jnp.linspace(0.0, 1.0, D)
+        z_line = near[:, None] * (1.0 - t) + far[:, None] * t  # (B, D)
+        z_vals = jnp.broadcast_to(z_line[:, None, :], (B, N_rays, D))
+        inv_scale = jnp.asarray([W - 1, H - 1], jnp.float32)
+        if use_pallas:
+            # (h, d, w) sample order end to end: every per-sample op from
+            # here to the raw radiance is pointwise, and the row samplers
+            # natively consume rows=(h, d/G), cols=(g, w) — generating the
+            # samples depth-major (a free broadcast) eliminates the six
+            # lane-wasteful (..., D, C<=8)-trailing transposes the ray-major
+            # order needs (PROFILE_r05 second-flagship levers). Only the
+            # final (B, N*D, 4) raw transposes back, once.
+            world_xyz = None
+            pts = (
+                ray_o.reshape(B, H_rows, 1, W, 3)
+                + ray_d.reshape(B, H_rows, 1, W, 3)
+                * z_line[:, None, :, None, None]
+            ).reshape(B, N_rays * D, 3)
+        else:
+            world_xyz = (
+                ray_o[..., None, :] + ray_d[..., None, :] * z_vals[..., None]
+            )
+            pts = world_xyz.reshape(B, -1, 3)
+
+        uvd = ndc_coords(
+            batch["src_exts"][:, 0],
+            batch["src_ixts"][:, 0],
+            pts,
+            inv_scale,
+            near.reshape(B, 1, 1),
+            far.reshape(B, 1, 1),
+            cfg.pad,
+            (h, w),
+        )  # (B, N*D, 3) in [0,1]
+
+        # trilinear volume features (align-corners over padded volume)
+        Dp, hp, wp = volume.shape[1:4]
+        vox_xyz = uvd * jnp.asarray([wp - 1, hp - 1, Dp - 1], jnp.float32)
         if use_pallas:
             from boostmvsnerfs_tpu.ops.pallas import pallas_interpret
             from boostmvsnerfs_tpu.ops.pallas.tri_sample import (
@@ -579,8 +615,10 @@ class MVSNeRF(nn.Module):
 
             # (h, d-group, [g, w])-ordered rows keep each row's (y, z)
             # bands tight while packing G depth samples per kernel row
-            # (G*W columns -> G-fold fewer per-row DMA/loop iterations)
-            c = jnp.swapaxes(vox_xyz.reshape(B, H_rows, W, D, 3), 2, 3)
+            # (G*W columns -> G-fold fewer per-row DMA/loop iterations);
+            # vox_xyz is already (h, d, w)-ordered, so the row split is a
+            # pure reshape
+            c = vox_xyz.reshape(B, H_rows, D, W, 3)
             R = H_rows * (D // G)
             ray_feats = fused_tri_sample(
                 volume,
@@ -590,10 +628,8 @@ class MVSNeRF(nn.Module):
                 window_h=cfg.pallas_vol_window_h,
                 window_z=cfg.pallas_vol_window_z,
                 interpret=pallas_interpret(),
-            )  # (B, R, G*W, 8)
-            ray_feats = jnp.swapaxes(
-                ray_feats.reshape(B, H_rows, D, W, -1), 2, 3
-            ).reshape(B, N_rays * D, -1)
+            )  # (B, R, G*W, 8) — (h, d, w) order, used as-is
+            ray_feats = ray_feats.reshape(B, N_rays * D, -1)
         else:
             ray_feats = jax.vmap(
                 lambda vol, pts: sampling.grid_sample_3d(vol, pts, "zeros")
@@ -601,8 +637,8 @@ class MVSNeRF(nn.Module):
 
         # per-view colors + in-mask (build_color_volume, utils.py:300-332)
         rgbs = render.unpreprocess(batch["src_inps"])
-        pts = world_xyz.reshape(B, -1, 3)
         color_feats = []
+        vis_acc = None
         if use_pallas:
             from boostmvsnerfs_tpu.ops.pallas import pallas_interpret
             from boostmvsnerfs_tpu.ops.pallas.img_sample import fused_row_sample
@@ -610,20 +646,24 @@ class MVSNeRF(nn.Module):
             # rows ordered (target row, sample index): the projected y-band
             # of one (h, d) row is tight, unlike (h, w*D) rows whose D
             # samples sweep the whole depth range. The per-view projection
-            # is computed once and reused for the in-viewport mask.
+            # is computed once and reused for the in-viewport masks (both
+            # the color in-mask and, with depth > 0, the blend mask —
+            # mask_viewport re-projected from scratch before).
             xs, ys, in_masks = [], [], []
+            vis_acc = jnp.zeros(pts.shape[:2], jnp.float32)
             for v in range(V):
-                xy_v, _ = geometry.project_points(
+                xy_v, depth_v = geometry.project_points(
                     pts, batch["src_exts"][:, v], batch["src_ixts"][:, v],
                 )
-                in_masks.append(
-                    (
-                        (xy_v[..., 0] >= 0) & (xy_v[..., 0] <= W - 1)
-                        & (xy_v[..., 1] >= 0) & (xy_v[..., 1] <= H - 1)
-                    ).astype(jnp.float32)[..., None]
+                in_b = (
+                    (xy_v[..., 0] >= 0) & (xy_v[..., 0] <= W - 1)
+                    & (xy_v[..., 1] >= 0) & (xy_v[..., 1] <= H - 1)
                 )
-                c = xy_v.reshape(B, H_rows, W, D, 2)
-                c = jnp.swapaxes(c, 2, 3)  # (B, H_rows, D, W, 2)
+                in_masks.append(in_b.astype(jnp.float32)[..., None])
+                vis_acc = vis_acc + (
+                    in_b & (depth_v[..., 0] > 0)
+                ).astype(jnp.float32)
+                c = xy_v.reshape(B, H_rows, D, W, 2)  # hdw: pure reshape
                 xs.append(c[..., 0].reshape(B, H_rows * D // G, G * W))
                 ys.append(c[..., 1].reshape(B, H_rows * D // G, G * W))
             x_all = jnp.stack(xs, 1).reshape(B * V, H_rows * D // G, G * W)
@@ -634,9 +674,8 @@ class MVSNeRF(nn.Module):
                 window_h=self.cfg.pallas_img_window_h,
                 padding_mode="border",
                 interpret=pallas_interpret(),
-            )  # (B*V, H_rows*D, W, 3)
-            col = col.reshape(B, V, H_rows, D, W, 3)
-            col = jnp.swapaxes(col, 3, 4).reshape(B, V, N_rays * D, 3)
+            )  # (B*V, H_rows*D/G, G*W, 3) — (h, d, w) order, used as-is
+            col = col.reshape(B, V, N_rays * D, 3)
             for v in range(V):
                 color_feats.append(
                     jnp.concatenate([col[:, v], in_masks[v]], axis=-1)
@@ -660,22 +699,53 @@ class MVSNeRF(nn.Module):
         dirs = ray_d / jnp.linalg.norm(ray_d, axis=-1, keepdims=True)
         R_ref = batch["src_exts"][:, 0, :3, :3]
         dirs_ref = dirs @ jnp.swapaxes(R_ref, -1, -2)  # (B, N, 3)
-        dirs_ref = jnp.broadcast_to(
-            dirs_ref[:, :, None, :], world_xyz.shape
-        ).reshape(B, -1, 3)
+        if use_pallas:
+            dirs_ref = jnp.broadcast_to(
+                dirs_ref.reshape(B, H_rows, 1, W, 3),
+                (B, H_rows, D, W, 3),
+            ).reshape(B, -1, 3)
+        else:
+            dirs_ref = jnp.broadcast_to(
+                dirs_ref[:, :, None, :], world_xyz.shape
+            ).reshape(B, -1, 3)
 
-        pts_enc = positional_encoding(uvd, cfg.pos_freqs)  # (B, N*D, 63)
-        raw = self.renderer(pts_enc, input_feat, dirs_ref, use_pallas=use_pallas)
-        raw = raw.reshape(B, -1, D, 4)
+        if use_pallas:
+            # raw uvd coords: the 63ch positional encoding is computed
+            # inside the fused MLP kernel's VMEM block (ops/pallas/mlp.py
+            # encode_freqs) — a samples x 63 float32 HBM round-trip gone
+            raw = self.renderer(
+                uvd, input_feat, dirs_ref, use_pallas=True,
+                encode_in_kernel=cfg.pos_freqs,
+            )
+        else:
+            pts_enc = positional_encoding(uvd, cfg.pos_freqs)  # (B, N*D, 63)
+            raw = self.renderer(pts_enc, input_feat, dirs_ref)
+        if use_pallas:
+            # the one transpose back from (h, d, w) to ray-major (h, w, d)
+            raw = jnp.swapaxes(
+                raw.reshape(B, H_rows, D, W, 4), 2, 3
+            ).reshape(B, N_rays, D, 4)
+        else:
+            raw = raw.reshape(B, -1, D, 4)
 
         out = {"net_output": raw, "z_vals": z_vals}
         if with_mask:
-            out["mask"] = jax.lax.stop_gradient(
-                render.mask_viewport(
-                    world_xyz, batch["src_exts"], batch["src_ixts"],
-                    jnp.broadcast_to(inv_scale[None], (B, 2)),
+            if use_pallas:
+                # visibility fraction from the projections computed above
+                # (identical to render.mask_viewport: in-[0,1]^2 with
+                # positive depth), transposed back to ray-major order
+                out["mask"] = jax.lax.stop_gradient(
+                    jnp.swapaxes(
+                        (vis_acc / V).reshape(B, H_rows, D, W), 2, 3
+                    ).reshape(B, N_rays, D)
                 )
-            )
+            else:
+                out["mask"] = jax.lax.stop_gradient(
+                    render.mask_viewport(
+                        world_xyz, batch["src_exts"], batch["src_ixts"],
+                        jnp.broadcast_to(inv_scale[None], (B, 2)),
+                    )
+                )
         return out
 
     def __call__(self, batch: dict, train: bool = False) -> dict:

@@ -35,7 +35,7 @@ def _param_list(params, depth):
 
 
 def _mlp_kernel(
-    pts_ref,  # (NB, P) positional encoding
+    pts_ref,  # (NB, P) positional encoding | (NB, d) raw coords (encode_freqs)
     feat_ref,  # (NB, F)
     dirs_ref,  # (NB, 3pad)
     *wrefs,
@@ -43,6 +43,7 @@ def _mlp_kernel(
     skips: tuple,
     NB: int,
     cdt,
+    encode_freqs: int = 0,
 ):
     out_ref = wrefs[-1]
     wrefs = wrefs[:-1]
@@ -62,6 +63,21 @@ def _mlp_kernel(
         return y + b[None].astype(jnp.float32)
 
     pts = pts_ref[...]
+    if encode_freqs:
+        # fold the positional encoding into the kernel: the (NB, 63)
+        # encoding lives only in VMEM instead of round-tripping a
+        # samples x 63 float32 tensor through HBM (models/mvsnerf.py
+        # positional_encoding — identical [x, sin(2^k x), cos(2^k x)]
+        # f-major layout, reference network.py:24-75). Built from WIDE
+        # (NB, F*d) ops only: a per-frequency list of (NB, d) temporaries
+        # lane-pads each to a full tile and blows Mosaic's scoped-VMEM
+        # stack accounting (measured 102MB at NB=4096).
+        Fq, dd = encode_freqs, pts.shape[-1]
+        freqs = 2.0 ** (
+            jax.lax.broadcasted_iota(jnp.int32, (1, Fq * dd), 1) // dd
+        ).astype(jnp.float32)  # Mosaic iota must be integer-typed
+        xt = jnp.tile(pts, (1, Fq)) * freqs
+        pts = jnp.concatenate([pts, jnp.sin(xt), jnp.cos(xt)], axis=-1)
     bias = dense(feat_ref[...], 0)  # pts_bias
     h = pts
     for i in range(depth):
@@ -78,11 +94,14 @@ def _mlp_kernel(
 
 @functools.partial(
     jax.jit,
-    static_argnames=("depth", "skips", "block", "compute_dtype", "interpret"),
+    static_argnames=(
+        "depth", "skips", "block", "compute_dtype", "interpret",
+        "encode_freqs",
+    ),
 )
 def fused_renderer_mlp(
     params,
-    pts_enc: jnp.ndarray,  # (B, N, P)
+    pts_enc: jnp.ndarray,  # (B, N, P) — raw (B, N, d) coords w/ encode_freqs
     feat: jnp.ndarray,  # (B, N, F)
     dirs: jnp.ndarray,  # (B, N, 3)
     depth: int = 6,
@@ -90,6 +109,7 @@ def fused_renderer_mlp(
     block: int = 4096,
     compute_dtype=jnp.bfloat16,
     interpret: bool = False,
+    encode_freqs: int = 0,
 ) -> jnp.ndarray:
     """Apply the renderer MLP to every sample; returns (B, N, 4)."""
     B, N, P = pts_enc.shape
@@ -110,6 +130,7 @@ def fused_renderer_mlp(
 
     kernel = functools.partial(
         _mlp_kernel, depth=depth, skips=tuple(skips), NB=NB, cdt=cdt,
+        encode_freqs=encode_freqs,
     )
     n_blocks = padded // NB
 
@@ -135,9 +156,10 @@ def fused_renderer_mlp(
         out_shape=jax.ShapeDtypeStruct((padded, 4), jnp.float32),
         # the 4096-sample block sits within ~512B of Mosaic's 16MB scoped
         # default at some grid sizes (double-buffered IO + ~3 live
-        # (NB, 128) activations); give it headroom like the warp backward
+        # (NB, 128) activations); give it headroom like the warp backward.
+        # In-kernel encoding adds ~5 wide (NB, <=128) temporaries.
         compiler_params=pltpu.CompilerParams(
-            vmem_limit_bytes=24 * 2**20,
+            vmem_limit_bytes=(40 if encode_freqs else 24) * 2**20,
         ),
         interpret=interpret,
     )(x, f, d, *leaves)

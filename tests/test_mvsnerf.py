@@ -187,3 +187,23 @@ def test_pallas_grouped_rows_match_gather(monkeypatch):
                 np.asarray(got[k]), np.asarray(want[k]),
                 rtol=2e-2, atol=2e-2, err_msg=f"{k} G={g}",
             )
+
+    # the boost variant additionally exercises the fused path's blend
+    # mask (visibility fraction reused from the sampler projections
+    # instead of render.mask_viewport's re-projection) through the
+    # cross-K blend of the final rgb
+    bmodel = BoostMVSNeRF(cfg=dataclasses.replace(gather_cfg, k_best=2))
+    bvars = bmodel.init(jax.random.PRNGKey(1), full, False)
+    bwant = bmodel.apply(bvars, full, False)
+    bcfg = dataclasses.replace(
+        CFG, k_best=2, eval_sampling="pallas",
+        pallas_vol_window_h=64 // 4 + 2 * CFG.pad,
+        pallas_vol_window_z=CFG.num_samples,
+        pallas_img_window_h=64,
+    )
+    bgot = BoostMVSNeRF(cfg=bcfg).apply(bvars, full, False)
+    for k in bwant:
+        np.testing.assert_allclose(
+            np.asarray(bgot[k]), np.asarray(bwant[k]),
+            rtol=2e-2, atol=2e-2, err_msg=f"boost {k}",
+        )

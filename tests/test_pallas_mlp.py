@@ -41,3 +41,27 @@ def test_fused_mlp_bf16_close(rng):
     )
     err = np.abs(np.asarray(got) - np.asarray(want))
     assert err.mean() < 0.02, err.mean()
+
+
+def test_fused_mlp_encode_in_kernel_matches_host_encoding(rng):
+    """encode_freqs: the in-kernel positional encoding (wide-op VMEM
+    construction) must be bit-identical to encoding on the host and
+    feeding the 63ch tensor in (models/mvsnerf.positional_encoding)."""
+    from boostmvsnerfs_tpu.models.mvsnerf import positional_encoding
+
+    cfg, mlp, params, _, feat, dirs = _setup(rng)
+    B, N = feat.shape[:2]
+    uvd = jnp.asarray(
+        np.random.default_rng(3).uniform(0, 1, (B, N, 3)), jnp.float32
+    )
+    enc = positional_encoding(uvd, cfg.pos_freqs)
+    want = fused_renderer_mlp(
+        params, enc, feat, dirs, depth=cfg.mlp_depth, skips=cfg.skips,
+        block=512, compute_dtype=jnp.float32, interpret=INTERPRET,
+    )
+    got = fused_renderer_mlp(
+        params, uvd, feat, dirs, depth=cfg.mlp_depth, skips=cfg.skips,
+        block=512, compute_dtype=jnp.float32, interpret=INTERPRET,
+        encode_freqs=cfg.pos_freqs,
+    )
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want), atol=1e-6)
