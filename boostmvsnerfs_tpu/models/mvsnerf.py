@@ -185,7 +185,7 @@ class RendererMLP(nn.Module):
 
     @nn.compact
     def __call__(self, pts_enc, feat, viewdirs, use_pallas: bool = False,
-                 encode_in_kernel: int = 0):
+                 encode_in_kernel: int = 0, rows_layout: bool = False):
         W = self.cfg.mlp_width
         if use_pallas and self.additive_bias:
             use_pallas = False  # fused kernel implements the v0 trunk only
@@ -198,15 +198,23 @@ class RendererMLP(nn.Module):
             from boostmvsnerfs_tpu.ops.pallas.mlp import (
                 _param_list,
                 fused_renderer_mlp,
+                fused_renderer_mlp_rows,
             )
 
             depth = self.cfg.mlp_depth
-            P = (
-                pts_enc.shape[-1] * (1 + 2 * encode_in_kernel)
-                if encode_in_kernel
-                else pts_enc.shape[-1]
-            )
-            F = feat.shape[-1]
+            if rows_layout:
+                # feat = (vox (B, R, Cv, T), col (B, V, R, Cc, T)) in the
+                # channels-in-sublanes rows layout (sampler raw outputs)
+                vox_rows, col_rows = feat
+                P = pts_enc.shape[2] * (1 + 2 * encode_in_kernel)
+                F = vox_rows.shape[2] + col_rows.shape[1] * col_rows.shape[3]
+            else:
+                P = (
+                    pts_enc.shape[-1] * (1 + 2 * encode_in_kernel)
+                    if encode_in_kernel
+                    else pts_enc.shape[-1]
+                )
+                F = feat.shape[-1]
             dims = {"pts_bias": (F, W)}
             in_d = P
             for i in range(depth):
@@ -231,6 +239,13 @@ class RendererMLP(nn.Module):
                     for n in names
                 }
             }
+            if rows_layout:
+                return fused_renderer_mlp_rows(
+                    params, pts_enc, vox_rows, col_rows, viewdirs,
+                    depth=depth, skips=tuple(self.cfg.skips),
+                    interpret=pallas_interpret(),
+                    encode_freqs=encode_in_kernel,
+                )
             return fused_renderer_mlp(
                 params, pts_enc, feat, viewdirs,
                 depth=depth, skips=tuple(self.cfg.skips),
@@ -534,6 +549,153 @@ class MVSNeRF(nn.Module):
         volume = jnp.concatenate(rgb_chans + [var], axis=-1)  # (B,D,hp,wp,9+32)
         return self.cost_reg(volume, train)
 
+    def _render_volume_rows(
+        self, batch, volume, ray_idx, near, far, with_mask, H_rows
+    ):
+        """Rows-layout eval render: channels in SUBLANES end to end.
+
+        Every per-sample tensor between ray generation and the raw
+        radiance keeps the (B, R=(h, d/G), C, T=(g, w)) layout the fused
+        samplers natively emit (``raw_layout``) and the rows MLP kernel
+        consumes (ops/pallas/mlp.fused_renderer_mlp_rows) — no tensor
+        with a small TRAILING dim is materialized in HBM, where TPU
+        tiling pads it up to 128 lanes (16-40x physical waste on the
+        3-20 channel glue of the flat layout; PROFILE_r05 second-flagship
+        levers). Geometry (reference lib/networks/mvsnerf/utils.py:112-146
+        NDC + network.py:979-1040 render_rays) matches render_volume's
+        flat path: plain-division NDC, eps-clamped per-view projection,
+        in-[0, W-1]x[0, H-1] color masks, visibility-fraction blend mask.
+        """
+        cfg = self.cfg
+        B, V, H, W, _ = batch["src_inps"].shape
+        D = cfg.num_samples
+        h, w = H // 4, W // 4
+        G = cfg.pallas_depth_group if D % cfg.pallas_depth_group == 0 else 1
+        Dg, Tg = D // G, G * W
+        Rr = H_rows * Dg
+        N_rays = ray_idx.shape[1]
+
+        from boostmvsnerfs_tpu.ops.pallas import pallas_interpret
+        from boostmvsnerfs_tpu.ops.pallas.img_sample import fused_row_sample
+        from boostmvsnerfs_tpu.ops.pallas.tri_sample import fused_tri_sample
+
+        xy = geometry.flat_idx_to_xy(ray_idx, W)
+        ray_o, ray_d = geometry.rays_from_pixels(
+            batch["tar_ixt"], batch["tar_ext"], xy
+        )
+        t = jnp.linspace(0.0, 1.0, D)
+        z_line = near[:, None] * (1.0 - t) + far[:, None] * t  # (B, D)
+        z_vals = jnp.broadcast_to(z_line[:, None, :], (B, N_rays, D))
+
+        # world samples directly in rows layout: the per-RAY origins and
+        # directions transpose once ((N, 3) — tiny), the per-SAMPLE world
+        # positions broadcast for free
+        ro_r = jnp.swapaxes(ray_o.reshape(B, H_rows, W, 3), 2, 3)
+        rd_r = jnp.swapaxes(ray_d.reshape(B, H_rows, W, 3), 2, 3)
+        world_rows = (
+            ro_r.reshape(B, H_rows, 1, 3, 1, W)
+            + rd_r.reshape(B, H_rows, 1, 3, 1, W)
+            * z_line.reshape(B, 1, Dg, 1, G, 1)
+        ).reshape(B, Rr, 3, Tg)
+
+        def cam_rows(ext, ixt):
+            # camera + intrinsics matmuls contract the 3ch sublane axis
+            Rm = ext[..., :3, :3]
+            tm = ext[..., :3, 3]
+            cam = (
+                jnp.einsum("bij,brjt->brit", Rm, world_rows)
+                + tm[:, None, :, None]
+            )
+            return jnp.einsum("bij,brjt->brit", ixt, cam)
+
+        inv_scale = jnp.asarray([W - 1, H - 1], jnp.float32)
+        pix = cam_rows(batch["src_exts"][:, 0], batch["src_ixts"][:, 0])
+        # ndc_coords semantics: plain division (no depth clamp)
+        xyn = pix[:, :, :2] / pix[:, :, 2:3] / inv_scale[None, None, :, None]
+        nearc = near.reshape(B, 1, 1, 1)
+        farc = far.reshape(B, 1, 1, 1)
+        zn = (pix[:, :, 2:3] - nearc) / (farc - nearc)
+        uvd_rows = jnp.concatenate([xyn, zn], axis=2)  # (B, R, 3, T)
+        if cfg.pad > 0:
+            p = cfg.pad
+            sc = jnp.asarray(
+                [w / (w + 2 * p), h / (h + 2 * p), 1.0], jnp.float32
+            )
+            off = jnp.asarray(
+                [p / (w + 2 * p), p / (h + 2 * p), 0.0], jnp.float32
+            )
+            uvd_rows = (
+                uvd_rows * sc[None, None, :, None] + off[None, None, :, None]
+            )
+
+        Dp, hp, wp = volume.shape[1:4]
+        vox = uvd_rows * jnp.asarray(
+            [wp - 1, hp - 1, Dp - 1], jnp.float32
+        )[None, None, :, None]
+        vox_rows = fused_tri_sample(
+            volume, vox[:, :, 0], vox[:, :, 1], vox[:, :, 2],
+            window_h=cfg.pallas_vol_window_h,
+            window_z=cfg.pallas_vol_window_z,
+            interpret=pallas_interpret(),
+            raw_layout=True,
+        )[..., :Tg]  # (B, R, Cv, T)
+
+        rgbs = render.unpreprocess(batch["src_inps"])
+        xs, ys, masks = [], [], []
+        vis_acc = jnp.zeros((B, Rr, Tg), jnp.float32)
+        for v in range(V):
+            pix_v = cam_rows(batch["src_exts"][:, v], batch["src_ixts"][:, v])
+            depth_v = pix_v[:, :, 2]
+            xy_v = pix_v[:, :, :2] / jnp.maximum(pix_v[:, :, 2:3], 1e-6)
+            xv, yv = xy_v[:, :, 0], xy_v[:, :, 1]
+            in_b = (xv >= 0) & (xv <= W - 1) & (yv >= 0) & (yv <= H - 1)
+            masks.append(in_b.astype(jnp.float32))
+            vis_acc = vis_acc + (in_b & (depth_v > 0)).astype(jnp.float32)
+            xs.append(xv)
+            ys.append(yv)
+        x_all = jnp.stack(xs, 1).reshape(B * V, Rr, Tg)
+        y_all = jnp.stack(ys, 1).reshape(B * V, Rr, Tg)
+        col = fused_row_sample(
+            rgbs.reshape(B * V, H, W, 3), x_all, y_all,
+            window_h=cfg.pallas_img_window_h,
+            padding_mode="border",
+            interpret=pallas_interpret(),
+            raw_layout=True,
+        )[..., :Tg].reshape(B, V, Rr, -1, Tg)
+        # the sampler's zero pad channel gives way to the in-view mask:
+        # feat = [vox8, rgb3+mask1 per view] matches the flat path's
+        # input_feat channel order exactly
+        col_rows = jnp.concatenate(
+            [col[:, :, :, :3], jnp.stack(masks, 1)[:, :, :, None, :]],
+            axis=3,
+        )
+
+        dirs = ray_d / jnp.linalg.norm(ray_d, axis=-1, keepdims=True)
+        R_ref = batch["src_exts"][:, 0, :3, :3]
+        dirs_ref = dirs @ jnp.swapaxes(R_ref, -1, -2)  # (B, N, 3)
+        dirs_hw = jnp.swapaxes(
+            dirs_ref.reshape(B, H_rows, W, 3), 2, 3
+        )  # (B, H, 3, W) — per-ray, tiny
+        dirs_rows = jnp.broadcast_to(
+            dirs_hw.reshape(B, H_rows, 1, 3, 1, W),
+            (B, H_rows, Dg, 3, G, W),
+        ).reshape(B, Rr, 3, Tg)
+
+        raw_rows = self.renderer(
+            uvd_rows, (vox_rows, col_rows), dirs_rows, use_pallas=True,
+            encode_in_kernel=cfg.pos_freqs, rows_layout=True,
+        )  # (B, R, 4, T)
+        raw = jnp.transpose(
+            raw_rows.reshape(B, H_rows, Dg, 4, G, W), (0, 1, 5, 2, 4, 3)
+        ).reshape(B, N_rays, D, 4)
+        out = {"net_output": raw, "z_vals": z_vals}
+        if with_mask:
+            m = vis_acc.reshape(B, H_rows, Dg, G, W) / V
+            out["mask"] = jax.lax.stop_gradient(
+                jnp.transpose(m, (0, 1, 4, 2, 3)).reshape(B, N_rays, D)
+            )
+        return out
+
     def render_volume(
         self, batch, volume, ray_idx, near, far, train, with_mask: bool = True
     ):
@@ -567,6 +729,12 @@ class MVSNeRF(nn.Module):
             # instead of Pallas interpret mode
             and pallas_ops.pallas_supported()
         )
+        if use_pallas and cfg.net_type == "v0":
+            # the rows pipeline covers the default head; other heads keep
+            # the flat layout below (their MLPs run under XLA anyway)
+            return self._render_volume_rows(
+                batch, volume, ray_idx, near, far, with_mask, H_rows
+            )
         G = cfg.pallas_depth_group if D % cfg.pallas_depth_group == 0 else 1
 
         t = jnp.linspace(0.0, 1.0, D)

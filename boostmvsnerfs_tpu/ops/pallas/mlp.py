@@ -164,3 +164,167 @@ def fused_renderer_mlp(
         interpret=interpret,
     )(x, f, d, *leaves)
     return out[:total].reshape(B, N, 4)
+
+
+def _mlp_rows_kernel(
+    uvd_ref,  # VMEM (1, RB, du, T) raw reference-NDC coords
+    vox_ref,  # VMEM (1, RB, Cv, T) neural-encoding-volume features
+    col_ref,  # VMEM (1, V, RB, Cc, T) per-view rgb (3) + in-mask (1)
+    dirs_ref,  # VMEM (1, RB, dd, T) viewdirs in the reference frame
+    *wrefs,  # weight/bias refs, then out_ref (1, RB, 4, T)
+    depth: int,
+    skips: tuple,
+    RB: int,
+    V: int,
+    cdt,
+    encode_freqs: int,
+):
+    """Rows-layout MVSNeRF renderer: channels in SUBLANES, samples in
+    LANES — the enerf_head.py layout (see its module docstring for why a
+    trailing C < 128 is 16x-padded in HBM). Inputs arrive as the samplers
+    emit them (tri_sample/img_sample ``raw_layout``), the 63ch positional
+    encoding is built in VMEM from wide ops, and every dense layer is a
+    ``(in, out) x (in, T)`` sublane contraction — the native lhsT MXU
+    orientation with the wide sample axis keeping the MXU fed."""
+    out_ref = wrefs[-1]
+    wrefs = wrefs[:-1]
+    prec = (
+        jax.lax.Precision.HIGHEST
+        if cdt == jnp.float32
+        else jax.lax.Precision.DEFAULT
+    )
+
+    def dense(x, i):
+        k = wrefs[2 * i][...]
+        b = wrefs[2 * i + 1][...]
+        y = jax.lax.dot_general(
+            k.astype(cdt), x.astype(cdt),
+            dimension_numbers=(((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32, precision=prec,
+        )
+        return y + b[:, None].astype(jnp.float32)
+
+    T = out_ref.shape[-1]
+    du = uvd_ref.shape[2]
+    Fq = encode_freqs
+    reps = 1 + 2 * Fq
+    # wide-op positional encoding along sublanes: row j of the (du*reps, T)
+    # block is x[j % du] * 2^((j - du) // du % Fq), passed through identity
+    # / sin / cos by row range — matches models/mvsnerf.positional_encoding
+    ridx = jax.lax.broadcasted_iota(jnp.int32, (du * reps, T), 0)
+    fexp = jnp.where(ridx < du, 0, ((ridx - du) // du) % max(Fq, 1))
+    fcol = 2.0 ** fexp.astype(jnp.float32)
+
+    def row_body(r, carry):
+        u = uvd_ref[0, r]  # (du, T)
+        if Fq:
+            xt = jnp.tile(u, (reps, 1)) * fcol
+            enc = jnp.where(
+                ridx < du, xt,
+                jnp.where(ridx < du * (1 + Fq), jnp.sin(xt), jnp.cos(xt)),
+            )
+        else:
+            enc = u
+        feat = jnp.concatenate(
+            [vox_ref[0, r]] + [col_ref[0, v, r] for v in range(V)], axis=0
+        )  # (Cv + V*Cc, T)
+        bias = dense(feat, 0)  # pts_bias -> (W, T)
+        h = enc
+        for i in range(depth):
+            h = jax.nn.relu(dense(h, 1 + i) * bias)
+            if i in skips:
+                h = jnp.concatenate([enc, h], axis=0)
+        alpha = jax.nn.relu(dense(h, 1 + depth))  # (1, T)
+        feature = dense(h, 2 + depth)  # (W, T)
+        hv = jnp.concatenate([feature, dirs_ref[0, r]], axis=0)
+        hv = jax.nn.relu(dense(hv, 3 + depth))  # (W/2, T)
+        rgb = jax.nn.sigmoid(dense(hv, 4 + depth))  # (3, T)
+        out_ref[0, r] = jnp.concatenate([rgb, alpha], axis=0)
+        return carry
+
+    jax.lax.fori_loop(0, RB, row_body, 0)
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=(
+        "depth", "skips", "compute_dtype", "interpret", "encode_freqs",
+    ),
+)
+def fused_renderer_mlp_rows(
+    params,
+    uvd: jnp.ndarray,  # (B, R, du, T) raw coords (in-kernel encoding)
+    vox: jnp.ndarray,  # (B, R, Cv, T)
+    col: jnp.ndarray,  # (B, V, R, Cc, T) rgb+mask per view
+    dirs: jnp.ndarray,  # (B, R, dd, T)
+    depth: int = 6,
+    skips: tuple = (4,),
+    compute_dtype=jnp.bfloat16,
+    interpret: bool = False,
+    encode_freqs: int = 10,
+) -> jnp.ndarray:
+    """Rows-layout renderer MLP; returns (B, R, 4, T) raw [rgb, alpha]."""
+    B, R, du, T = uvd.shape
+    V, Cc = col.shape[1], col.shape[3]
+    Cv = vox.shape[2]
+    dd = dirs.shape[2]
+    cdt = jnp.dtype(compute_dtype)
+    names, leaves = _param_list(params, depth)
+
+    T_in = T
+    T_k = -(-T // 128) * 128
+    if T_k != T:  # zero-pad lanes; pad columns compute garbage, sliced off
+        pad = ((0, 0), (0, 0), (0, 0), (0, T_k - T))
+        uvd = jnp.pad(uvd, pad)
+        vox = jnp.pad(vox, pad)
+        col = jnp.pad(col, ((0, 0),) + pad)
+        dirs = jnp.pad(dirs, pad)
+        T = T_k
+
+    # rows per grid step: bound the (RB, C, T) IO blocks to ~4MB
+    per_row = (du + Cv + V * Cc + dd + 4) * T * 4
+    cands = [r for r in range(1, R + 1) if R % r == 0]
+    RB = max([r for r in cands if r * per_row <= 4 * 2**20] or [1])
+
+    kernel = functools.partial(
+        _mlp_rows_kernel, depth=depth, skips=tuple(skips), RB=RB, V=V,
+        cdt=cdt, encode_freqs=encode_freqs,
+    )
+
+    def spec(c):
+        return pl.BlockSpec(
+            (1, RB, c, T), lambda b, rb: (b, rb, 0, 0),
+            memory_space=pltpu.VMEM,
+        )
+
+    weight_specs = [
+        pl.BlockSpec(
+            leaf.shape,
+            lambda b, rb, nd=len(leaf.shape): (0,) * nd,
+            memory_space=pltpu.VMEM,
+            pipeline_mode=pl.Buffered(buffer_count=1),
+        )
+        for leaf in leaves
+    ]
+    out = pl.pallas_call(
+        kernel,
+        grid=(B, R // RB),
+        in_specs=[
+            spec(du),
+            spec(Cv),
+            pl.BlockSpec(
+                (1, V, RB, Cc, T), lambda b, rb: (b, 0, rb, 0, 0),
+                memory_space=pltpu.VMEM,
+            ),
+            spec(dd),
+        ] + weight_specs,
+        out_specs=spec(4),
+        out_shape=jax.ShapeDtypeStruct((B, R, 4, T), jnp.float32),
+        # ~8 live (192, T) f32 trunk activations per row plus the encoding
+        # temporaries; Mosaic's stack accounting needs headroom over 16MB
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=48 * 2**20,
+        ),
+        interpret=interpret,
+    )(uvd, vox, col, dirs, *leaves)
+    return out[..., :T_in]

@@ -155,6 +155,7 @@ def _tri_kernel(
     jax.jit,
     static_argnames=(
         "window_h", "window_z", "row_block", "compute_dtype", "interpret",
+        "raw_layout",
     ),
 )
 def fused_tri_sample(
@@ -167,12 +168,16 @@ def fused_tri_sample(
     row_block: int = 0,
     compute_dtype=jnp.bfloat16,
     interpret: bool = False,
+    raw_layout: bool = False,
 ) -> jnp.ndarray:
     """Trilinear-sample ``vol`` at per-row smooth coordinate curves.
 
     Returns (B, R, T, C), matching ops/sampling.grid_sample_3d with zeros
     padding when each row-chunk's valid taps fit its (window_z, window_h)
-    windows.
+    windows. With ``raw_layout`` the kernel's native channels-in-sublanes
+    output is returned untouched — (B, R, C, T) — for consumers that keep
+    the rows pipeline (a trailing C < 128 pads 16x in HBM tiling; see
+    ops/pallas/enerf_head.py's layout note).
     """
     B, Dp, Hp, Wp, C = vol.shape
     _, R, T = x.shape
@@ -247,6 +252,8 @@ def fused_tri_sample(
         z.astype(jnp.float32),
     )
     del Wp_in
+    if raw_layout:
+        return out[:, :, :, :T_in]  # (B, R, C, T)
     return jnp.moveaxis(out[:, :, :, :T_in], 2, -1)  # (B, R, T, C)
 
 
