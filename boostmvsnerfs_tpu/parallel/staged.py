@@ -565,19 +565,27 @@ class StagedMVSNeRF:
             def render_all_blocks(K, v, sub, vol, blocks, near, far):
                 def body(carry, ridx):
                     ridx_k = jnp.repeat(ridx, K, axis=0)
-                    return carry, render_blend(
-                        K, v, sub, vol, ridx_k, near, far
-                    )
+                    o = render_blend(K, v, sub, vol, ridx_k, near, far)
+                    # channels to sublanes for the scan's per-iteration
+                    # output writes: a (B, n, 3) rgb block DUS-writes a
+                    # 42x lane-padded buffer per iteration in HBM tiling
+                    return carry, {
+                        k: jnp.moveaxis(a, -1, 1) if a.ndim == 3 else a
+                        for k, a in o.items()
+                    }
 
                 _, outs = jax.lax.scan(body, 0.0, blocks)
-                # (nb, B, n_blk, ...) -> (B, nb*n_blk, ...): blocks are
+
+                # (nb, B, [C,] n_blk) -> (B, nb*n_blk[, C]): blocks are
                 # consecutive row ranges in raster order
-                return {
-                    k: jnp.moveaxis(a, 0, 1).reshape(
+                def merge(a):
+                    if a.ndim == 4:
+                        a = jnp.moveaxis(a, 2, 3)
+                    return jnp.moveaxis(a, 0, 1).reshape(
                         a.shape[1], a.shape[0] * a.shape[2], *a.shape[3:]
                     )
-                    for k, a in outs.items()
-                }
+
+                return {k: merge(a) for k, a in outs.items()}
 
             self._render_frame = jax.jit(
                 partial(render_all_blocks, self.cfg.k_best)

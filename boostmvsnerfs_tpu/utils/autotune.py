@@ -323,7 +323,7 @@ def tune_mvsnerf_windows(batch: dict, cfg, margin: int = 1):
     vol_h = cfg.pallas_vol_window_h
     vol_z = cfg.pallas_vol_window_z
     img_h = cfg.pallas_img_window_h
-    g_candidates = [g for g in (1, 2, 4, 8) if D % g == 0]
+    g_candidates = [g for g in (1, 2, 4, 8, 16, 32) if D % g == 0]
     # per-G maxima over all groups/views: {G: (vol_h, vol_z, img_h)}
     per_g = {g: [1, 1, 1] for g in g_candidates}
     with jax.default_device(jax.devices("cpu")[0]):
@@ -401,6 +401,14 @@ def tune_mvsnerf_windows(batch: dict, cfg, margin: int = 1):
     best_g, best_cost = 1, float("inf")
     for g in g_candidates:
         wh, wz, wi = per_g[g]
+        # VMEM feasibility: the tri kernel double-buffers a
+        # (wz, wh*C, Wp_pad) bf16 slab next to its (RB, C, T) blocks —
+        # huge-G window growth can exceed what Mosaic will schedule
+        # (G=32 at 224x352 picked wh=104/wz=17 and failed to compile)
+        wp_pad = -(-wp // 128) * 128
+        slab = 2 * (wz + 1) * ((wh + 1) * cfg.feat_dim) * wp_pad * 2
+        if slab > 6 * 2**20:
+            continue
         # per-row cost model: band-DMA issue + the windowed interp
         # matmuls; R rows of G*W columns — larger G trades fewer row
         # iterations against taller (costlier) windows
